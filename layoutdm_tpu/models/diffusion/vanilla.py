@@ -1,0 +1,130 @@
+"""Vanilla (VQDiffusion-style) mask-and-replace transition over the full vocab.
+
+TPU-native re-expression of `models/categorical_diffusion/vanilla.py:20-240`:
+one transition matrix whose action is closed-form in log space, vocab LAST.
+The object is stateless data (schedule tables as jnp constants); every method
+is a pure function safe inside jit / scan / grad.
+
+Transition semantics per step t (classes 0..V-2 "real", V-1 = [MASK]):
+  real -> keep w.p. at, uniform-replace w.p. bt (each of N = V-1 classes),
+          to MASK w.p. ct;  MASK is absorbing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from layoutdm_tpu.ops.log_math import (
+    LOG_EPS,
+    ScheduleTables,
+    log_add_exp,
+    log_onehot,
+)
+from layoutdm_tpu.ops.samplers import gumbel_noise
+
+
+def _at(table: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Gather schedule entries at t -> (B, 1, 1) for (B, S, V) broadcasting
+    (the reference's `extract`, `util.py:24-27`)."""
+    return table[t][:, None, None]
+
+
+class VanillaQ:
+    def __init__(
+        self,
+        num_classes: int,
+        num_timesteps: int = 100,
+        att_1: float = 0.99999,
+        att_T: float = 0.000009,
+        ctt_1: float = 0.000009,
+        ctt_T: float = 0.99999,
+    ):
+        self.num_classes = num_classes
+        self.num_timesteps = num_timesteps
+        tabs = ScheduleTables(
+            num_timesteps,
+            N=num_classes - 1,
+            att_1=att_1,
+            att_T=att_T,
+            ctt_1=ctt_1,
+            ctt_T=ctt_T,
+        ).stacked()
+        self.tables = {k: jnp.asarray(v) for k, v in tabs.items()}
+
+    # -- forward process ----------------------------------------------------
+    def q_pred_one_timestep(self, log_x_t: jnp.ndarray, t: jnp.ndarray):
+        """q(x_t | x_{t-1}) applied to a log distribution
+        (`vanilla.py:74-88`), shapes (B, S, V)."""
+        tb = self.tables
+        real = log_add_exp(
+            log_x_t[..., :-1] + _at(tb["log_at"], t), _at(tb["log_bt"], t)
+        )
+        mask = log_add_exp(
+            log_x_t[..., -1:] + _at(tb["log_1_min_ct"], t), _at(tb["log_ct"], t)
+        )
+        return jnp.concatenate([real, mask], axis=-1)
+
+    def q_pred(self, log_x_start: jnp.ndarray, t: jnp.ndarray):
+        """q(x_t | x_0) via cumulative products (`vanilla.py:90-110`).
+        t = -1 wraps to the identity row (index T)."""
+        tb = self.tables
+        t = (t + (self.num_timesteps + 1)) % (self.num_timesteps + 1)
+        real = log_add_exp(
+            log_x_start[..., :-1] + _at(tb["log_cumprod_at"], t),
+            _at(tb["log_cumprod_bt"], t),
+        )
+        mask = log_add_exp(
+            log_x_start[..., -1:] + _at(tb["log_1_min_cumprod_ct"], t),
+            _at(tb["log_cumprod_ct"], t),
+        )
+        return jnp.concatenate([real, mask], axis=-1)
+
+    # -- reverse process ----------------------------------------------------
+    def q_posterior(
+        self, log_x_start: jnp.ndarray, log_x_t: jnp.ndarray, t: jnp.ndarray
+    ):
+        """q(x_{t-1} | x_t, x̂_0) — VQDiffusion Eq.5 in log space
+        (`vanilla.py:112-151`).  ``log_x_t`` must be (log) one-hot."""
+        tb = self.tables
+        V = self.num_classes
+        is_mask = (jnp.argmax(log_x_t, axis=-1) == V - 1)[..., None]  # (B,S,1)
+
+        # q(xt|x0) column evaluated at the observed xt, with the MASK row
+        # replaced by its closed form ct~
+        log_qt = self.q_pred(log_x_t, t)[..., :-1]
+        log_qt = jnp.where(is_mask, _at(tb["log_cumprod_ct"], t), log_qt)
+
+        # q(xt|xt-1) column at observed xt; MASK row -> (ct,...,ct,1)
+        log_qt1 = self.q_pred_one_timestep(log_x_t, t)
+        log_qt1 = jnp.concatenate(
+            [log_qt1[..., :-1], jnp.full_like(log_qt1[..., -1:], LOG_EPS)],
+            axis=-1,
+        )
+        ct_row = jnp.concatenate(
+            [
+                jnp.broadcast_to(_at(tb["log_ct"], t), log_qt.shape),
+                jnp.zeros_like(log_qt1[..., -1:]),
+            ],
+            axis=-1,
+        )
+        log_qt1 = jnp.where(is_mask, ct_row, log_qt1)
+
+        q = log_x_start[..., :-1] - log_qt
+        q = jnp.concatenate([q, jnp.full_like(q[..., -1:], LOG_EPS)], axis=-1)
+        lse = jax.scipy.special.logsumexp(q, axis=-1, keepdims=True)
+        q = q - lse
+        out = self.q_pred(q, t - 1) + log_qt1 + lse
+        return jnp.clip(out, -70.0, 0.0)
+
+    def q_sample(
+        self, rng: jax.Array, log_x_start: jnp.ndarray, t: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Sample x_t ~ q(x_t|x_0) via Gumbel-argmax; returns log one-hot
+        (`vanilla.py:153-158`, `base.py:167-174`)."""
+        logits = self.q_pred(log_x_start, t)
+        noise = gumbel_noise(rng, logits.shape, logits.dtype)
+        ids = jnp.argmax(logits + noise, axis=-1)
+        return log_onehot(ids, self.num_classes)
