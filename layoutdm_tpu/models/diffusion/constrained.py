@@ -1,0 +1,196 @@
+"""Constrained mask-and-replace diffusion — LayoutDM's per-attribute Q.
+
+TPU-native re-design of `models/categorical_diffusion/constrained.py:27-333`.
+The reference loops over the five attribute types in python, converting each
+stride-5 slice to its own partial vocabulary.  Here the whole layout lives as
+one (B, S_elem, A, Vp) tensor in the padded partial-lane space of
+`tokenizer.converter.Converter`, the per-attribute schedules are stacked into
+(A, T[+1]) tables, and every q_* op is a single broadcasted computation over
+the attribute axis — no loop, one XLA fusion.
+
+Dead lanes (attributes whose true vocab is smaller than Vp) are pinned to
+LOG_EPS after every transition application so they never carry mass.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from layoutdm_tpu.ops.log_math import (
+    LOG_EPS,
+    ScheduleTables,
+    log_add_exp,
+    log_onehot,
+)
+from layoutdm_tpu.ops.samplers import gumbel_noise
+from layoutdm_tpu.tokenizer.converter import Converter
+from layoutdm_tpu.tokenizer.sequence import LayoutSequenceTokenizer
+
+
+def _at(table: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """(A, T) table gathered at t (B,) -> (B, 1, A, 1)."""
+    return table[:, t].T[:, None, :, None]
+
+
+class ConstrainedQ:
+    def __init__(
+        self,
+        tokenizer: LayoutSequenceTokenizer,
+        num_timesteps: int = 100,
+        att_1: float = 0.99999,
+        att_T: float = 0.000009,
+        ctt_1: float = 0.000009,
+        ctt_T: float = 0.99999,
+    ):
+        self.tokenizer = tokenizer
+        self.converter = Converter.build(tokenizer)
+        self.num_timesteps = num_timesteps
+        self.num_classes = tokenizer.N_total
+        cv = self.converter
+        self.A, self.Vp, self.Vf = cv.A, cv.Vp, cv.Vf
+        self.mask_id = tokenizer.name_to_id("mask")
+
+        # one schedule per attribute with N = mat_size - 1
+        # (`constrained.py:56-90`), stacked over the attribute axis
+        stacked: dict = {}
+        for a in range(cv.A):
+            tabs = ScheduleTables(
+                num_timesteps,
+                N=int(cv.n_normal[a]),
+                att_1=att_1,
+                att_T=att_T,
+                ctt_1=ctt_1,
+                ctt_T=ctt_T,
+            ).stacked()
+            for k, v in tabs.items():
+                stacked.setdefault(k, []).append(v)
+        self.tables = {k: jnp.asarray(np.stack(v)) for k, v in stacked.items()}
+
+        # (1, 1, A, Vp-1): which non-MASK lanes are real for each attribute
+        self.normal_valid = jnp.asarray(
+            cv.lane_valid[:, :-1][None, None]
+        )
+
+    # -- forward process (partial-lane space, (B, S, A, Vp)) ----------------
+    def _mask_dead(self, normal: jnp.ndarray) -> jnp.ndarray:
+        return jnp.where(self.normal_valid, normal, LOG_EPS)
+
+    def q_pred_one_timestep(self, log_x_t: jnp.ndarray, t: jnp.ndarray):
+        """q(x_t | x_{t-1}) per attribute (`constrained.py:92-110`)."""
+        tb = self.tables
+        real = log_add_exp(
+            log_x_t[..., :-1] + _at(tb["log_at"], t), _at(tb["log_bt"], t)
+        )
+        real = self._mask_dead(real)
+        mask = log_add_exp(
+            log_x_t[..., -1:] + _at(tb["log_1_min_ct"], t), _at(tb["log_ct"], t)
+        )
+        return jnp.concatenate([real, mask], axis=-1)
+
+    def q_pred(self, log_x_start: jnp.ndarray, t: jnp.ndarray):
+        """q(x_t | x_0) per attribute (`constrained.py:112-133`)."""
+        tb = self.tables
+        t = (t + (self.num_timesteps + 1)) % (self.num_timesteps + 1)
+        real = log_add_exp(
+            log_x_start[..., :-1] + _at(tb["log_cumprod_at"], t),
+            _at(tb["log_cumprod_bt"], t),
+        )
+        real = self._mask_dead(real)
+        mask = log_add_exp(
+            log_x_start[..., -1:] + _at(tb["log_1_min_cumprod_ct"], t),
+            _at(tb["log_cumprod_ct"], t),
+        )
+        return jnp.concatenate([real, mask], axis=-1)
+
+    # -- reverse ------------------------------------------------------------
+    def q_posterior(
+        self, log_x_start: jnp.ndarray, log_x_t: jnp.ndarray, t: jnp.ndarray
+    ) -> jnp.ndarray:
+        """q(x_{t-1} | x_t, x̂_0) over the FULL vocab.
+
+        Inputs/outputs are full-vocab (B, S_tok, Vf) to keep the sampler's
+        interface identical to `VanillaQ`; internally everything runs in the
+        padded partial space, replacing the reference's 5-iteration loop
+        (`constrained.py:135-206`) with one broadcasted pass.
+        """
+        cv = self.converter
+        B, S_tok, _ = log_x_start.shape
+        S = S_tok // cv.A
+        shape4 = (B, S, cv.A, self.Vf)
+
+        log_x_start_p = cv.f_to_p_log(log_x_start.reshape(shape4))
+        log_x_t_p = cv.f_to_p_log(log_x_t.reshape(shape4))
+        # (B, S, A, 1): is the observed token [MASK]?
+        ids_full = jnp.argmax(log_x_t, axis=-1).reshape(B, S, cv.A)
+        is_mask = (ids_full == self.mask_id)[..., None]
+
+        tb = self.tables
+        log_qt = self.q_pred(log_x_t_p, t)[..., :-1]
+        log_qt = jnp.where(
+            is_mask,
+            self._mask_dead(
+                jnp.broadcast_to(_at(tb["log_cumprod_ct"], t), log_qt.shape)
+            ),
+            log_qt,
+        )
+
+        log_qt1 = self.q_pred_one_timestep(log_x_t_p, t)
+        log_qt1 = jnp.concatenate(
+            [log_qt1[..., :-1], jnp.full_like(log_qt1[..., -1:], LOG_EPS)],
+            axis=-1,
+        )
+        ct_row = jnp.concatenate(
+            [
+                self._mask_dead(
+                    jnp.broadcast_to(_at(tb["log_ct"], t), log_qt.shape)
+                ),
+                jnp.zeros_like(log_qt1[..., -1:]),
+            ],
+            axis=-1,
+        )
+        log_qt1 = jnp.where(is_mask, ct_row, log_qt1)
+
+        q = log_x_start_p[..., :-1] - log_qt
+        q = jnp.where(self.normal_valid, q, LOG_EPS)
+        q = jnp.concatenate([q, jnp.full_like(q[..., -1:], LOG_EPS)], axis=-1)
+        lse = jax.scipy.special.logsumexp(q, axis=-1, keepdims=True)
+        q = q - lse
+        out = self.q_pred(q, t - 1) + log_qt1 + lse
+        out = jnp.clip(out, -70.0, 0.0)
+
+        return cv.p_to_f_log(out).reshape(B, S_tok, self.Vf)
+
+    def q_sample(
+        self, rng: jax.Array, log_x_start_p: jnp.ndarray, t: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Sample x_t ~ q(x_t|x_0) in partial-lane space; returns lane ids
+        (B, S, A).  Dead lanes are excluded from the draw."""
+        logits = self.q_pred(log_x_start_p, t)
+        logits = jnp.concatenate(
+            [
+                jnp.where(self.normal_valid, logits[..., :-1], -1e9),
+                logits[..., -1:],
+            ],
+            axis=-1,
+        )
+        noise = gumbel_noise(rng, logits.shape, logits.dtype)
+        return jnp.argmax(logits + noise, axis=-1)
+
+    # -- helpers for training ----------------------------------------------
+    def corrupt(self, rng: jax.Array, seq_full: jnp.ndarray, t: jnp.ndarray):
+        """Full-vocab clean ids (B, S_tok) -> (log_xt_full, xt_full_ids).
+
+        Mirrors `constrained.py:243-260`: per-attribute q_sample then merge
+        back to the full vocabulary.
+        """
+        cv = self.converter
+        B, S_tok = seq_full.shape
+        S = S_tok // cv.A
+        ids_p = cv.f_to_p_id(seq_full.reshape(B, S, cv.A))
+        log_x_start_p = log_onehot(ids_p, self.Vp)
+        lanes = self.q_sample(rng, log_x_start_p, t)
+        xt_full = cv.p_to_f_id(lanes).reshape(B, S_tok)
+        log_xt_full = log_onehot(xt_full, self.Vf)
+        return log_xt_full, xt_full

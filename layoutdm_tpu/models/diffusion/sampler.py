@@ -1,0 +1,185 @@
+"""The T-step reverse diffusion as ONE ``lax.scan`` — all tasks, one program.
+
+Re-design of the reference's python sampling loop
+(`categorical_diffusion/base.py:205-371`).  The key observation (SURVEY.md §7)
+is that every conditional task is already a branch-free logit manipulation:
+
+  * strong constraints  -> ``where(strong_mask, log_onehot(seq), p)``
+    (`base.py:246-251`)
+  * refinement prior    -> ``p + weak_mask * weak_logits`` (`base.py:254-258`)
+  * relation guidance   -> K gradient-ascent steps on the logits
+    (`logit_adjustment.py:88-126`), expressed with ``jax.grad`` inside the scan
+  * PAD suppression     -> mask write of LOG_EPS (`base.py:272-284`)
+
+so a single compiled scan serves unconditional / c / cwh / partial /
+refinement (and relation, via an optional guidance closure).  The timestep
+ladder (including T_eval < T_train skip-steps and the asymmetric
+time-difference trick) is precomputed on host into static per-step arrays —
+no data-dependent control flow remains.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from layoutdm_tpu.configs import SamplingConfig
+from layoutdm_tpu.ops.log_math import LOG_EPS, log_onehot
+from layoutdm_tpu.ops.samplers import sample_tokens
+
+
+@flax.struct.dataclass
+class SamplerCond:
+    """Standardized conditioning inputs for the compiled sampler.
+
+    A no-op cond (all-False masks, zero weak logits) reproduces unconditional
+    sampling, so one compiled program covers every task.
+    """
+
+    seq: jnp.ndarray  # (B, S) int32 — user-specified token values
+    strong_mask: jnp.ndarray  # (B, S) bool — hard replacement positions
+    weak_logits: jnp.ndarray  # (B, S, V) f32 — additive prior (refinement)
+    weak_mask: jnp.ndarray  # (B, S) bool — where the prior applies
+    pad_suppress: jnp.ndarray  # (B, S) bool — forbid PAD here (#elems known)
+    init_from_seq: bool = flax.struct.field(pytree_node=False, default=False)
+
+    @classmethod
+    def empty(cls, batch_size: int, seq_len: int, num_classes: int):
+        B, S = batch_size, seq_len
+        return cls(
+            seq=jnp.zeros((B, S), jnp.int32),
+            strong_mask=jnp.zeros((B, S), bool),
+            weak_logits=jnp.zeros((B, S, num_classes), jnp.float32),
+            weak_mask=jnp.zeros((B, S), bool),
+            pad_suppress=jnp.zeros((B, S), bool),
+            init_from_seq=False,
+        )
+
+
+def timestep_ladder(
+    num_timesteps: int,
+    num_timesteps_eval: Optional[int] = None,
+    time_difference: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side schedule of (model_t, posterior_t) per reverse step.
+
+    Parity: `base.py:310-315` (skip-step ladder), `base.py:218-240`
+    (time-difference and the posterior-time selection).
+    """
+    T = num_timesteps
+    T_eval = num_timesteps_eval or T
+    assert T_eval <= T
+    idxs = [int(i * T / T_eval) for i in range(T_eval - 1, -1, -1)]
+    model_t, post_t = [], []
+    prev = T
+    for idx in idxs:
+        skip = (prev - idx) - 1
+        if time_difference > 0.0:
+            noise = int(np.clip(idx - int(T * time_difference), 0, T - 1))
+        else:
+            noise = idx
+        pt = noise - skip if (skip > 0 and noise > skip) else noise
+        model_t.append(idx)
+        post_t.append(pt)
+        prev = idx
+    return np.asarray(model_t, np.int32), np.asarray(post_t, np.int32)
+
+
+def make_predict_start(apply_fn, num_classes: int):
+    """Wrap the denoiser into p(x0|xt): log-softmax over non-MASK classes
+    with the MASK lane pinned at -70 (`base.py:127-146`)."""
+
+    def predict_start(params, log_z, t, rng=None):
+        ids = jnp.argmax(log_z, axis=-1)
+        logits = apply_fn(params, ids, t, rng)  # (B, S, V)
+        out = logits[..., :-1]
+        log_pred = jax.nn.log_softmax(out, axis=-1)
+        mask_lane = jnp.full_like(log_pred[..., :1], -70.0)
+        log_pred = jnp.concatenate([log_pred, mask_lane], axis=-1)
+        return jnp.clip(log_pred, -70.0, 0.0)
+
+    return predict_start
+
+
+def sample_chain(
+    params,
+    predict_start: Callable,
+    q,  # VanillaQ | ConstrainedQ (exposes q_posterior, num_classes)
+    rng: jax.Array,
+    cond: SamplerCond,
+    sampling: SamplingConfig,
+    pad_id: int,
+    num_timesteps_eval: Optional[int] = None,
+    get_intermediates: bool = False,
+    guidance_fn: Optional[Callable] = None,
+):
+    """Run the full reverse chain; returns final token ids (B, S)
+    [+ stacked per-step ids if requested].
+
+    ``guidance_fn(model_log_prob, t, cond) -> model_log_prob`` is the hook for
+    relation-constraint gradient guidance; it runs INSIDE the scan.
+    """
+    V = q.num_classes
+    B, S = cond.seq.shape
+
+    model_t, post_t = timestep_ladder(
+        q.num_timesteps, num_timesteps_eval, sampling.time_difference
+    )
+
+    if cond.init_from_seq:
+        log_z = log_onehot(cond.seq, V)
+    else:
+        # all-MASK initialization (`base.py:339-346`)
+        log_z = log_onehot(jnp.full((B, S), V - 1, jnp.int32), V)
+
+    strong_log = log_onehot(cond.seq, V)
+    lane_is_pad = jnp.arange(V) == pad_id
+
+    def step(carry, xs):
+        log_z, rng = carry
+        mt, pt = xs
+        rng, r_samp = jax.random.split(rng)
+        t_b = jnp.full((B,), mt, jnp.int32)
+
+        # rng=None -> denoiser runs deterministic (dropout off), like the
+        # reference's eval-mode sampling
+        log_x_recon = predict_start(params, log_z, t_b, None)
+        mlp = q.q_posterior(log_x_recon, log_z, jnp.full((B,), pt, jnp.int32))
+
+        # strong user constraints by replacement (`base.py:246-251`)
+        mlp = jnp.where(cond.strong_mask[..., None], strong_log, mlp)
+        # refinement weak prior (`base.py:254-258`)
+        mlp = mlp + jnp.where(cond.weak_mask[..., None], cond.weak_logits, 0.0)
+        # relation guidance (`base.py:261-269`)
+        if guidance_fn is not None:
+            mlp = guidance_fn(mlp, mt, cond)
+        # disable PAD where the element count is known (`base.py:272-284`)
+        mlp = jnp.where(
+            cond.pad_suppress[..., None] & lane_is_pad[None, None, :],
+            LOG_EPS,
+            mlp,
+        )
+
+        ids = sample_tokens(
+            r_samp,
+            mlp,
+            name=sampling.name,
+            temperature=sampling.temperature,
+            top_k=sampling.top_k,
+            top_p=sampling.top_p,
+        )
+        new_log_z = log_onehot(ids, V)
+        y = ids if get_intermediates else None
+        return (new_log_z, rng), y
+
+    (log_z, _), ys = jax.lax.scan(
+        step, (log_z, rng), (jnp.asarray(model_t), jnp.asarray(post_t))
+    )
+    final_ids = jnp.argmax(log_z, axis=-1)
+    if get_intermediates:
+        return final_ids, ys
+    return final_ids

@@ -128,3 +128,9 @@ class VanillaQ:
         noise = gumbel_noise(rng, logits.shape, logits.dtype)
         ids = jnp.argmax(logits + noise, axis=-1)
         return log_onehot(ids, self.num_classes)
+
+    def corrupt(self, rng: jax.Array, seq: jnp.ndarray, t: jnp.ndarray):
+        """Clean ids (B, S) -> (log_xt, xt_ids); same interface as
+        `ConstrainedQ.corrupt` so the training loss is q-agnostic."""
+        log_xt = self.q_sample(rng, log_onehot(seq, self.num_classes), t)
+        return log_xt, jnp.argmax(log_xt, axis=-1)

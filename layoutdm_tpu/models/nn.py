@@ -1,0 +1,297 @@
+"""Neural network library: timestep-conditioned transformer encoder in flax.
+
+Re-design of `models/transformer_utils.py:34-246` and
+`models/common/nn_lib.py:73-237` for TPU:
+
+* pre-norm blocks with AdaLayerNorm / AdaInsNorm timestep modulation
+  (scale-shift), matching the reference block wiring exactly — note the
+  reference REPLACES the trunk with norm1(x) before the attention residual
+  (`transformer_utils.py:173-179`), an intentional VQDiffusion quirk we keep;
+* self-attention with a packed qkv projection (one matmul feeding the MXU,
+  and a 1:1 layout with torch's ``in_proj_weight`` for checkpoint porting);
+* factored element/attribute positional embedding (`nn_lib.py:91-134`);
+* a ``dtype`` knob so activations can run bf16 with f32 params/logits.
+
+Everything is standard flax.linen; the modules contain no python-level state.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from layoutdm_tpu.configs import BackboneConfig
+
+
+def gelu2(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACTIVATIONS = {"relu": jax.nn.relu, "gelu": jax.nn.gelu, "gelu2": gelu2}
+
+
+class SinusoidalTimestepEmb(nn.Module):
+    """`transformer_utils.py:34-49` — sinusoidal embedding of the diffusion
+    timestep, rescaled to 4000 steps."""
+
+    num_steps: int
+    dim: int
+    rescale_steps: int = 4000
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        x = t.astype(jnp.float32) / self.num_steps * self.rescale_steps
+        half = self.dim // 2
+        freq = jnp.exp(jnp.arange(half) * -(math.log(10000) / (half - 1)))
+        ang = x[:, None] * freq[None, :]
+        return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class AdaNormCond(nn.Module):
+    """Timestep -> (scale, shift) modulation (`transformer_utils.py:52-69`)."""
+
+    d_model: int
+    max_timestep: int
+    emb_type: str  # "adalayernorm" | + "_abs" | "_mlp" suffixes
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        if "abs" in self.emb_type:
+            emb = SinusoidalTimestepEmb(self.max_timestep, self.d_model)(t)
+        elif "mlp" in self.emb_type:
+            h = t.astype(jnp.float32)[:, None]
+            h = nn.Dense(self.d_model // 2, name="mlp1")(h)
+            emb = nn.Dense(self.d_model, name="mlp2")(jax.nn.relu(h))
+        else:
+            emb = nn.Embed(self.max_timestep, self.d_model, name="emb")(t)
+        emb = nn.Dense(self.d_model * 2, name="linear")(jax.nn.silu(emb))
+        return emb[:, None, :]  # (B, 1, 2D)
+
+
+class AdaLayerNorm(nn.Module):
+    d_model: int
+    max_timestep: int
+    emb_type: str = "adalayernorm"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        emb = AdaNormCond(self.d_model, self.max_timestep, self.emb_type)(t)
+        scale, shift = jnp.split(emb, 2, axis=-1)
+        x = nn.LayerNorm(use_bias=False, use_scale=False)(x)
+        return x * (1 + scale) + shift
+
+
+class AdaInsNorm(nn.Module):
+    d_model: int
+    max_timestep: int
+    emb_type: str = "adainnorm"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        emb = AdaNormCond(self.d_model, self.max_timestep, self.emb_type)(t)
+        scale, shift = jnp.split(emb, 2, axis=-1)
+        # instance norm over the sequence axis (`transformer_utils.py:86-100`)
+        mean = x.mean(axis=1, keepdims=True)
+        var = x.var(axis=1, keepdims=True)
+        x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        return x * (1 + scale) + shift
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention with packed qkv (torch MHA layout)."""
+
+    d_model: int
+    nhead: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,  # (S, S) additive or bool
+        key_padding_mask: Optional[jnp.ndarray] = None,  # (B, S) True=pad
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        B, S, D = x.shape
+        H = self.nhead
+        hd = D // H
+        qkv = nn.Dense(3 * D, name="qkv", dtype=self.dtype)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, S, H, hd)
+        k = k.reshape(B, S, H, hd)
+        v = v.reshape(B, S, H, hd)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
+        if mask is not None:
+            scores = scores + mask[None, None].astype(scores.dtype)
+        if key_padding_mask is not None:
+            neg = jnp.asarray(-1e9, dtype=scores.dtype)
+            scores = jnp.where(
+                key_padding_mask[:, None, None, :], neg, scores
+            )
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
+            self.dtype
+        )
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, S, D)
+        return nn.Dense(D, name="out", dtype=self.dtype)(out)
+
+
+class Block(nn.Module):
+    """Pre-norm encoder block (`transformer_utils.py:103-210`)."""
+
+    cfg: BackboneConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        timestep: Optional[jnp.ndarray] = None,
+        attn_mask: Optional[jnp.ndarray] = None,
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        c = self.cfg
+        tt = c.timestep_type
+        if tt is not None:
+            norm_cls = AdaInsNorm if "adainnorm" in tt else AdaLayerNorm
+            x = norm_cls(c.d_model, c.diffusion_step, tt, name="norm1")(
+                x, timestep
+            )
+        else:
+            x = nn.LayerNorm(name="norm1")(x)
+        attn = SelfAttention(
+            c.d_model, c.nhead, c.dropout, dtype=self.dtype, name="attn"
+        )(x, attn_mask, key_padding_mask, deterministic)
+        x = x + nn.Dropout(c.dropout)(attn, deterministic=deterministic)
+
+        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.Dense(c.dim_feedforward, name="linear1", dtype=self.dtype)(h)
+        h = ACTIVATIONS[c.activation](h)
+        h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(c.d_model, name="linear2", dtype=self.dtype)(h)
+        x = x + nn.Dropout(c.dropout)(h, deterministic=deterministic)
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of Blocks threading the timestep (`transformer_utils.py:213-246`)."""
+
+    cfg: BackboneConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        timestep: Optional[jnp.ndarray] = None,
+        attn_mask: Optional[jnp.ndarray] = None,
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        for i in range(self.cfg.num_layers):
+            x = Block(self.cfg, dtype=self.dtype, name=f"layer{i}")(
+                x, timestep, attn_mask, key_padding_mask, deterministic
+            )
+        return x
+
+
+class PositionalEmbedding(nn.Module):
+    """Learned absolute positions (`nn_lib.py:73-89`)."""
+
+    d_model: int
+    max_token_length: int
+
+    @nn.compact
+    def __call__(self, S: int) -> jnp.ndarray:
+        emb = self.param(
+            "pos_emb",
+            nn.initializers.uniform(scale=1.0),
+            (self.max_token_length, self.d_model),
+        )
+        return emb[:S][None]
+
+
+class ElementPositionalEmbedding(nn.Module):
+    """Factored (element-id + attribute-id) positions (`nn_lib.py:91-134`).
+    Handles the optional BOS slot when max_token_length % n_attr == 1."""
+
+    d_model: int
+    max_token_length: int
+    n_attr_per_elem: int = 5
+
+    @nn.compact
+    def __call__(self, S: int) -> jnp.ndarray:
+        remainder = self.max_token_length % self.n_attr_per_elem
+        assert remainder in (0, 1)
+        n_elem = self.max_token_length // self.n_attr_per_elem
+        init = nn.initializers.uniform(scale=1.0)
+        elem = self.param("elem_emb", init, (n_elem, self.d_model))
+        attr = self.param("attr_emb", init, (self.n_attr_per_elem, self.d_model))
+        emb = (
+            jnp.repeat(elem, self.n_attr_per_elem, axis=0)
+            + jnp.tile(attr, (n_elem, 1))
+        )
+        if remainder == 1:
+            bos = self.param("bos_emb", init, (1, self.d_model))
+            emb = jnp.concatenate([bos, emb[: S - 1]], axis=0)
+        else:
+            emb = emb[:S]
+        return emb[None]
+
+
+class CategoricalTransformer(nn.Module):
+    """Token-sequence denoiser (`nn_lib.py:137-237`): embed -> pos ->
+    timestep-aware encoder -> LN + linear head over the vocabulary."""
+
+    backbone: BackboneConfig
+    num_classes: int
+    max_token_length: int
+    pos_emb: str = "elem_attr"  # "default" | "elem_attr"
+    n_attr_per_elem: int = 5
+    lookahead: bool = True  # False => causal mask (AR models)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        seq: jnp.ndarray,  # (B, S) int token ids
+        timestep: Optional[jnp.ndarray] = None,  # (B,) int
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        c = self.backbone
+        S = seq.shape[1]
+        h = nn.Embed(self.num_classes, c.d_model, name="cat_emb")(seq)
+        if self.pos_emb == "default":
+            h = h + PositionalEmbedding(
+                c.d_model, self.max_token_length, name="pos"
+            )(S)
+        else:
+            h = h + ElementPositionalEmbedding(
+                c.d_model,
+                self.max_token_length,
+                self.n_attr_per_elem,
+                name="pos",
+            )(S)
+        h = nn.Dropout(0.1)(h, deterministic=deterministic)
+        h = h.astype(self.dtype)
+
+        attn_mask = None
+        if not self.lookahead:
+            attn_mask = jnp.triu(jnp.full((S, S), -jnp.inf), k=1)
+
+        h = TransformerEncoder(c, dtype=self.dtype, name="backbone")(
+            h, timestep, attn_mask, key_padding_mask, deterministic
+        )
+        h = h.astype(jnp.float32)
+        h = nn.LayerNorm(name="head_norm")(h)
+        logits = nn.Dense(
+            self.num_classes, use_bias=False, name="head"
+        )(h)
+        return logits
