@@ -1,0 +1,100 @@
+"""Headline benchmark: Rico25 unconditional sampling throughput at T=100.
+
+Runs the flagship LayoutDM configuration (vocab 155, seq 125, d_model 464,
+4 layers — `config/backbone/medium.yaml` shrunk 29/32) as ONE compiled
+lax.scan over all 100 reverse steps and measures layouts/sec on a single
+chip.  Random weights: throughput is weight-independent.
+
+Baseline: the reference's sampler on CPU (its README mandates single-device
+and prints `ms per sample`, `test.py:270-271`).  Measured via an equivalent
+PyTorch CPU program (torch available in this image): ~0.59 layouts/sec/core
+at batch 32 — recorded in BASELINE.md's protocol.  vs_baseline is our
+throughput over that number.
+
+Prints one JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from layoutdm_tpu.configs import BackboneConfig, ModelConfig, SamplingConfig
+from layoutdm_tpu.models.layoutdm import LayoutDM
+from layoutdm_tpu.tokenizer.bbox import BboxTokenizer
+from layoutdm_tpu.tokenizer.sequence import LayoutSequenceTokenizer
+
+CPU_REFERENCE_LAYOUTS_PER_SEC = 0.59  # see module docstring / BASELINE.md
+
+
+def build_flagship():
+    bb = BboxTokenizer(num_bins=32, shared_vocab="x-y-w-h", quantization="linear")
+    tok = LayoutSequenceTokenizer(
+        bbox_tokenizer=bb,
+        num_categories=25,
+        max_elements=25,
+        special_tokens=("pad", "mask"),
+        pad_until_max=True,
+    )
+    backbone = BackboneConfig(
+        d_model=512,
+        nhead=8,
+        dim_feedforward=2048,
+        num_layers=4,
+        dropout=0.0,
+        timestep_type="adalayernorm",
+        diffusion_step=100,
+    )
+    cfg = ModelConfig(q_type="constrained", num_timesteps=100)
+    return LayoutDM(backbone, tok, cfg)
+
+
+def main():
+    model = build_flagship()
+    params = model.init(jax.random.PRNGKey(0))
+    sampling = SamplingConfig(name="random")
+
+    def run(rng, batch_size):
+        return model.sample_ids(params, rng, batch_size, sampling=sampling)
+
+    batch = 1024
+    while batch >= 64:
+        try:
+            fn = jax.jit(run, static_argnums=(1,))
+            ids = fn(jax.random.PRNGKey(1), batch)
+            ids.block_until_ready()
+            break
+        except Exception as e:  # OOM backoff
+            if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+                batch //= 2
+                continue
+            raise
+    else:
+        raise RuntimeError("could not fit any batch size")
+
+    n_runs = 3
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        ids = fn(jax.random.PRNGKey(2 + i), batch)
+    ids.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    layouts_per_sec = batch * n_runs / dt
+    print(
+        json.dumps(
+            {
+                "metric": "rico25_uncond_layouts_per_sec_chip_T100",
+                "value": round(layouts_per_sec, 2),
+                "unit": "layouts/s",
+                "vs_baseline": round(
+                    layouts_per_sec / CPU_REFERENCE_LAYOUTS_PER_SEC, 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -78,7 +78,10 @@ def diffusion_loss(
     log_x_start = log_onehot(seq, V)
     log_xt, xt = q.corrupt(r_corrupt, seq, t)
 
-    log_x0_recon = predict_start(params, log_xt, t, r_model)
+    # dropout active only in training (rng=None -> deterministic denoiser)
+    log_x0_recon = predict_start(
+        params, log_xt, t, r_model if is_train else None
+    )
     log_model_prob = q.q_posterior(log_x0_recon, log_xt, t)
     log_true_prob = q.q_posterior(log_x_start, log_xt, t)
 

@@ -119,6 +119,7 @@ class SelfAttention(nn.Module):
     ) -> jnp.ndarray:
         B, S, D = x.shape
         H = self.nhead
+        assert D % H == 0, f"d_model {D} not divisible by nhead {H}"
         hd = D // H
         qkv = nn.Dense(3 * D, name="qkv", dtype=self.dtype)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)

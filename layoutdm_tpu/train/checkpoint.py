@@ -1,0 +1,58 @@
+"""Checkpoint IO: (config.json, params/state msgpack) per job dir.
+
+Extends the reference's weights-only `save_model`/`load_model`
+(`models/common/util.py:47-64`) to full train state (params + optimizer +
+importance buffers + step), making preemption-resume possible — the
+capability gap SURVEY.md §5 calls out.  Format: flax msgpack, dependency-free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from layoutdm_tpu import configs as _configs
+
+
+def save_params(params: Any, ckpt_dir: str, best_or_final: str = "best"):
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"{best_or_final}_model.msgpack")
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(params)))
+    return path
+
+
+def load_params(template: Any, ckpt_dir: str, best_or_final: str = "best"):
+    path = os.path.join(ckpt_dir, f"{best_or_final}_model.msgpack")
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def save_train_state(state: Any, ckpt_dir: str, name: str = "last_state"):
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"{name}.msgpack")
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(state)))
+    return path
+
+
+def load_train_state(template: Any, ckpt_dir: str, name: str = "last_state"):
+    path = os.path.join(ckpt_dir, f"{name}.msgpack")
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def save_config(cfg, job_dir: str):
+    os.makedirs(job_dir, exist_ok=True)
+    with open(os.path.join(job_dir, "config.json"), "w") as f:
+        json.dump(_configs.to_dict(cfg), f, indent=2)
+
+
+def load_config(job_dir: str):
+    with open(os.path.join(job_dir, "config.json")) as f:
+        return _configs.train_config_from_dict(json.load(f))

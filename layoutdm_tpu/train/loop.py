@@ -1,0 +1,170 @@
+"""Training loop — the `main.py:57-205` equivalent, TPU-first.
+
+Per epoch: shuffled host batches -> tokenize -> ONE jitted train step per
+batch (batch sharded over the data mesh); val loss; host-side LR schedule;
+best/final checkpointing with full state.  Metrics stream to a JSONL file
+(the TensorBoard-scalar equivalent) plus stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from layoutdm_tpu.configs import TrainConfig
+from layoutdm_tpu.data.datasets import load_dataset
+from layoutdm_tpu.data.loader import batch_iterator
+from layoutdm_tpu.data.transforms import compose_transform
+from layoutdm_tpu.factory import build_model, build_tokenizer
+from layoutdm_tpu.parallel.mesh import make_mesh
+from layoutdm_tpu.train import checkpoint as ckpt
+from layoutdm_tpu.train.schedulers import build_scheduler
+from layoutdm_tpu.train.step import (
+    init_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    set_learning_rate,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def train(cfg: TrainConfig) -> Dict:
+    rng_np = np.random.RandomState(cfg.seed)
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    train_data = load_dataset(
+        cfg.dataset.name, cfg.dataset.dir, "train", cfg.dataset.max_seq_length
+    )
+    val_data = load_dataset(
+        cfg.dataset.name, cfg.dataset.dir, "val", cfg.dataset.max_seq_length
+    )
+    transform = compose_transform(list(cfg.data.transforms))
+
+    tokenizer = build_tokenizer(cfg, train_data)
+    model = build_model(cfg, tokenizer)
+
+    mesh = make_mesh(cfg.training.num_devices)
+    n_data = mesh.shape["data"]
+    B = cfg.data.batch_size
+    if B % n_data:
+        B = (B // n_data + 1) * n_data
+        logger.info("batch_size rounded to %d for %d-way DP", B, n_data)
+
+    optimizer = make_optimizer(
+        lr=cfg.optimizer.lr,
+        weight_decay=cfg.training.weight_decay,
+        betas=tuple(cfg.optimizer.betas),
+        grad_norm_clip=cfg.training.grad_norm_clip,
+    )
+    rng, init_rng = jax.random.split(rng)
+    state = init_train_state(model, optimizer, init_rng)
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    logger.info("params: %.2fM", n_params / 1e6)
+
+    train_step = make_train_step(model, optimizer, mesh)
+    eval_step = make_eval_step(model, mesh)
+    scheduler = build_scheduler(
+        cfg.scheduler.name,
+        cfg.optimizer.lr,
+        warmup_epochs=cfg.scheduler.warmup_epochs,
+        factor=cfg.scheduler.factor,
+        patience=cfg.scheduler.patience,
+        total_epochs=cfg.training.epochs,
+    )
+
+    job_dir = cfg.job_dir
+    os.makedirs(job_dir, exist_ok=True)
+    ckpt.save_config(cfg, job_dir)
+    log_path = os.path.join(job_dir, "metrics.jsonl")
+    best_val = float("inf")
+
+    epochs = 2 if cfg.debug else cfg.training.epochs
+    totals = {}
+    with mesh:
+        for epoch in range(epochs):
+            t0 = time.time()
+            totals, n_steps = {}, 0
+            for batch in batch_iterator(
+                train_data, B, rng_np, transform, drop_last=True
+            ):
+                rng, r_pre, r_step = jax.random.split(rng, 3)
+                tokens = model.preprocess(batch, r_pre)
+                state, metrics = train_step(state, r_step, tokens["seq"])
+                n_steps += 1
+                for k, v in metrics.items():
+                    totals[k] = totals.get(k, 0.0) + float(v)
+                if cfg.debug and n_steps >= 2:
+                    break
+            totals = {k: v / max(n_steps, 1) for k, v in totals.items()}
+
+            # validation (`main.py:271-294`)
+            val_losses, n_val = 0.0, 0
+            for batch in batch_iterator(
+                val_data, B, rng_np, transform, drop_last=False
+            ):
+                if batch["label"].shape[0] % n_data:
+                    continue  # keep shards even; tail batch skipped
+                rng, r_pre, r_eval = jax.random.split(rng, 3)
+                tokens = model.preprocess(batch, r_pre)
+                val_losses += float(
+                    eval_step(state.params, state.lt_state, r_eval, tokens["seq"])
+                )
+                n_val += 1
+                if cfg.debug and n_val >= 2:
+                    break
+            val_loss = val_losses / max(n_val, 1)
+
+            lr = scheduler.step(epoch, val_loss)
+            state = set_learning_rate(state, lr)
+
+            row = {
+                "epoch": epoch,
+                "lr": lr,
+                "val_loss": val_loss,
+                "sec": time.time() - t0,
+                **{f"train_{k}": v for k, v in totals.items()},
+            }
+            with open(log_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+            logger.info("epoch %d: %s", epoch, row)
+
+            if val_loss < best_val:
+                best_val = val_loss
+                ckpt.save_params(state.params, job_dir, "best")
+            ckpt.save_train_state(state, job_dir)
+
+    ckpt.save_params(state.params, job_dir, "final")
+    result = {"best_val_loss": best_val, "final_train": totals}
+    with open(os.path.join(job_dir, "result.json"), "w") as f:
+        json.dump(result, f)
+    return result
+
+
+def main(argv=None):
+    import argparse
+    import sys
+
+    from layoutdm_tpu.configs import build_train_config
+
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser(
+        description="train: layoutdm_tpu.train.loop <experiment> <dataset> [k=v ...]"
+    )
+    p.add_argument("experiment")
+    p.add_argument("dataset")
+    p.add_argument("overrides", nargs="*")
+    a = p.parse_args(argv)
+    cfg = build_train_config(a.experiment, a.dataset, a.overrides)
+    return train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""End-to-end smoke tests: init -> loss/grad -> compiled sampling per task."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from layoutdm_tpu.configs import BackboneConfig, ModelConfig, SamplingConfig
+from layoutdm_tpu.models.layoutdm import LayoutDM
+from layoutdm_tpu.tasks import get_cond, to_sampler_cond
+from tests.test_tokenizer import make_tokenizer, random_layout
+
+T = 8
+
+
+def tiny_model(q_type="constrained"):
+    tok = make_tokenizer(
+        shared_vocab="x-y-w-h", num_categories=4, max_elements=4
+    )
+    # d_model chosen so the 29/32 shrink stays divisible by nhead (128->116)
+    backbone = BackboneConfig(
+        d_model=128,
+        nhead=4,
+        dim_feedforward=128,
+        num_layers=2,
+        dropout=0.0,
+        timestep_type="adalayernorm",
+        diffusion_step=T,
+    )
+    cfg = ModelConfig(q_type=q_type, num_timesteps=T)
+    return LayoutDM(backbone, tok, cfg)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_param_count_positive(model_and_params):
+    model, params = model_and_params
+    n = sum(x.size for x in jax.tree.leaves(params))
+    assert n > 10_000
+
+
+@pytest.mark.parametrize("q_type", ["vanilla", "constrained"])
+def test_loss_and_grads_finite(rng, q_type):
+    model = tiny_model(q_type)
+    params = model.init(jax.random.PRNGKey(0))
+    layout = random_layout(rng, B=4, S=4, n_cat=4)
+    seq = model.preprocess(layout)["seq"]
+    lt = model.init_state()
+
+    def total_loss(p):
+        losses, new_state = model.loss(p, jax.random.PRNGKey(1), seq, lt)
+        return sum(losses.values()), (losses, new_state)
+
+    (val, (losses, new_state)), grads = jax.value_and_grad(
+        total_loss, has_aux=True
+    )(params)
+    assert np.isfinite(float(val))
+    assert "kl_loss" in losses and "aux_loss" in losses
+    gnorm = sum(float(jnp.sum(g**2)) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+    # importance state advanced
+    assert float(new_state.count.sum()) == 4.0
+
+
+def test_unconditional_sampling(model_and_params):
+    model, params = model_and_params
+    ids = model.sample_ids(params, jax.random.PRNGKey(2), batch_size=3)
+    assert ids.shape == (3, model.seq_len)
+    assert (np.asarray(ids) < model.num_classes).all()
+    layouts = model.tokenizer.decode(ids)
+    assert layouts["bbox"].shape == (3, 4, 4)
+
+
+def test_conditional_c_keeps_categories(rng, model_and_params):
+    model, params = model_and_params
+    tok = model.tokenizer
+    layout = random_layout(rng, B=2, S=4, n_cat=4)
+    cond = get_cond(jax.random.PRNGKey(0), layout, tok, "c")
+    sc = to_sampler_cond(cond, tok, SamplingConfig())
+    ids = model.sample_ids(
+        params, jax.random.PRNGKey(3), batch_size=2, cond=sc
+    )
+    ids = np.asarray(ids).reshape(2, 4, 5)
+    # category slots of valid elements must equal the GT labels
+    for b in range(2):
+        for s in range(4):
+            if layout["mask"][b, s]:
+                assert ids[b, s, 0] == layout["label"][b, s]
+            else:
+                assert ids[b, s, 0] == tok.name_to_id("pad")
+    # PAD must never appear in coordinate slots of valid elements
+    pad_id = tok.name_to_id("pad")
+    for b in range(2):
+        for s in range(4):
+            if layout["mask"][b, s]:
+                assert (ids[b, s, 1:] != pad_id).all()
+
+
+def test_refinement_cond_shapes(rng, model_and_params):
+    model, params = model_and_params
+    tok = model.tokenizer
+    layout = random_layout(rng, B=2, S=4, n_cat=4)
+    cond = get_cond(jax.random.PRNGKey(1), layout, tok, "refinement")
+    sc = to_sampler_cond(cond, tok, SamplingConfig(refine_lambda=3.0))
+    assert sc.weak_logits.shape == (2, model.seq_len, model.num_classes)
+    assert bool(sc.weak_mask.any())
+    ids = model.sample_ids(
+        params, jax.random.PRNGKey(4), batch_size=2, cond=sc
+    )
+    ids = np.asarray(ids).reshape(2, 4, 5)
+    for b in range(2):
+        for s in range(4):
+            if layout["mask"][b, s]:
+                assert ids[b, s, 0] == layout["label"][b, s]
+
+
+def test_partial_keeps_subset(rng, model_and_params):
+    model, params = model_and_params
+    tok = model.tokenizer
+    layout = random_layout(rng, B=2, S=4, n_cat=4)
+    layout["mask"][:, :] = True
+    cond = get_cond(jax.random.PRNGKey(2), layout, tok, "partial")
+    kept = np.asarray(cond["mask"])
+    assert kept.any() and not kept.all()
+    sc = to_sampler_cond(cond, tok, SamplingConfig())
+    ids = model.sample_ids(
+        params, jax.random.PRNGKey(5), batch_size=2, cond=sc
+    )
+    gt = np.asarray(cond["seq"])
+    np.testing.assert_array_equal(np.asarray(ids)[kept], gt[kept])
+
+
+def test_sampling_is_deterministic_given_key(model_and_params):
+    model, params = model_and_params
+    a = model.sample_ids(params, jax.random.PRNGKey(7), batch_size=2)
+    b = model.sample_ids(params, jax.random.PRNGKey(7), batch_size=2)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_intermediate_results(model_and_params):
+    model, params = model_and_params
+    ids, inter = model.sample_ids(
+        params, jax.random.PRNGKey(8), batch_size=2, get_intermediates=True
+    )
+    assert inter.shape == (T, 2, model.seq_len)
+    np.testing.assert_array_equal(np.asarray(inter[-1]), np.asarray(ids))
+
+
+def test_num_timesteps_eval_skip_steps(model_and_params):
+    model, params = model_and_params
+    ids = model.sample_ids(
+        params,
+        jax.random.PRNGKey(9),
+        batch_size=2,
+        sampling=SamplingConfig(num_timesteps=T // 2),
+    )
+    assert ids.shape == (2, model.seq_len)
