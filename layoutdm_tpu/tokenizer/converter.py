@@ -36,6 +36,11 @@ class Converter:
     p2f: np.ndarray  # (A, Vp) partial lane -> full id (dead lanes -> 0)
     f2p: np.ndarray  # (A, Vf) full id -> partial lane (-1 if absent)
     lane_valid: np.ndarray  # (A, Vp) bool: lane carries probability mass
+    # (A, Vf, Vp) one-hot permutation matrix: route[a, u, v] = 1 iff full id
+    # u <-> partial lane v.  Log-prob conversion becomes a batched matmul on
+    # the MXU — minor-dim gathers are pathologically slow on TPU (measured
+    # ~400ms/call at B=1024 vs <1ms as a matmul).
+    route: np.ndarray = None
 
     @classmethod
     def build(cls, tok: LayoutSequenceTokenizer) -> "Converter":
@@ -70,59 +75,58 @@ class Converter:
             lane_valid[a, Vp - 1] = True
             assert len(full_ids) == n_normal[a]
 
+        route = np.zeros((A, Vf, Vp), dtype=np.float32)
+        for a in range(A):
+            for lane in range(Vp):
+                if lane_valid[a, lane]:
+                    route[a, p2f[a, lane], lane] = 1.0
+
         return cls(
             A=A, Vf=Vf, Vp=Vp, n_normal=n_normal, p2f=p2f, f2p=f2p,
-            lane_valid=lane_valid,
+            lane_valid=lane_valid, route=route,
         )
 
     # ---- log-prob conversion (vocab-last layout) --------------------------
-    def f_to_p_log(self, log_full: jnp.ndarray) -> jnp.ndarray:
-        """(B, S, A, Vf) -> (B, S, A, Vp); dead lanes get LOG_EPS.
+    # Both directions are applications of the same (A, Vf, Vp) one-hot
+    # permutation matrix, so each conversion is ONE batched matmul on the MXU
+    # (replacing the per-key scatter/gather loop of
+    # `layout_tokenizer.py:540-557`).
 
-        One gather replacing the per-key loop of `f_to_p_log`
-        (`layout_tokenizer.py:549-557`).
-        """
-        gathered = jnp.take_along_axis(
-            log_full,
-            jnp.broadcast_to(
-                jnp.asarray(self.p2f)[None, None],
-                log_full.shape[:2] + (self.A, self.Vp),
-            ),
-            axis=-1,
+    def f_to_p_log(self, log_full: jnp.ndarray) -> jnp.ndarray:
+        """(B, S, A, Vf) -> (B, S, A, Vp); dead lanes get LOG_EPS."""
+        route = jnp.asarray(self.route)
+        picked = jnp.einsum(
+            "bsau,auv->bsav", log_full, route,
+            preferred_element_type=jnp.float32,
         )
-        return jnp.where(jnp.asarray(self.lane_valid)[None, None], gathered, LOG_EPS)
+        return jnp.where(
+            jnp.asarray(self.lane_valid)[None, None], picked, LOG_EPS
+        )
 
     def p_to_f_log(self, log_part: jnp.ndarray) -> jnp.ndarray:
-        """(B, S, A, Vp) -> (B, S, A, Vf); absent ids get LOG_EPS
-        (scatter-free inverse of `p_to_f_log`, `layout_tokenizer.py:540-547`)."""
-        idx = jnp.asarray(np.maximum(self.f2p, 0))
-        gathered = jnp.take_along_axis(
-            log_part,
-            jnp.broadcast_to(
-                idx[None, None], log_part.shape[:2] + (self.A, self.Vf)
-            ),
-            axis=-1,
+        """(B, S, A, Vp) -> (B, S, A, Vf); absent ids get LOG_EPS."""
+        route = jnp.asarray(self.route)
+        placed = jnp.einsum(
+            "bsav,auv->bsau", log_part, route,
+            preferred_element_type=jnp.float32,
         )
         present = jnp.asarray(self.f2p >= 0)[None, None]
-        return jnp.where(present, gathered, LOG_EPS)
+        return jnp.where(present, placed, LOG_EPS)
 
     # ---- id conversion ----------------------------------------------------
+    # flat 1-D table lookups: ids index into the per-attribute row of the
+    # flattened (A*V,) table — one small gather, no broadcasted index tensor.
+
     def f_to_p_id(self, ids_full: jnp.ndarray) -> jnp.ndarray:
         """(B, S, A) full ids -> partial lanes (`f_to_p_id_all`,
         `layout_tokenizer.py:523-538`)."""
-        table = jnp.asarray(np.maximum(self.f2p, 0))  # (A, Vf)
-        return jnp.take_along_axis(
-            jnp.broadcast_to(table[None, None], ids_full.shape[:2] + table.shape),
-            ids_full[..., None],
-            axis=-1,
-        )[..., 0]
+        flat = jnp.asarray(np.maximum(self.f2p, 0).reshape(-1))
+        offs = jnp.arange(self.A, dtype=ids_full.dtype) * self.Vf
+        return flat[ids_full + offs[None, None, :]]
 
     def p_to_f_id(self, ids_part: jnp.ndarray) -> jnp.ndarray:
         """(B, S, A) partial lanes -> full ids (`p_to_f_id_all`,
         `layout_tokenizer.py:499-513`)."""
-        table = jnp.asarray(self.p2f)  # (A, Vp)
-        return jnp.take_along_axis(
-            jnp.broadcast_to(table[None, None], ids_part.shape[:2] + table.shape),
-            ids_part[..., None],
-            axis=-1,
-        )[..., 0]
+        flat = jnp.asarray(self.p2f.reshape(-1))
+        offs = jnp.arange(self.A, dtype=ids_part.dtype) * self.Vp
+        return flat[ids_part + offs[None, None, :]]

@@ -10,6 +10,11 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=8"
     )
 
+import jax
+
+# the axon site hook can override JAX_PLATFORMS; force via config too
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
