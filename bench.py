@@ -6,10 +6,10 @@ lax.scan over all 100 reverse steps and measures layouts/sec on a single
 chip.  Random weights: throughput is weight-independent.
 
 Baseline: the reference's sampler on CPU (its README mandates single-device
-and prints `ms per sample`, `test.py:270-271`).  Measured via an equivalent
-PyTorch CPU program (torch available in this image): ~0.59 layouts/sec/core
-at batch 32 — recorded in BASELINE.md's protocol.  vs_baseline is our
-throughput over that number.
+and prints `ms per sample`, `test.py:270-271`).  Measured on this machine
+via an equivalent PyTorch CPU program (same transformer dims, same T=100
+log-space posterior structure, batch 32): 0.32 layouts/sec — see
+BASELINE.md "Measured baseline".  vs_baseline is our throughput over that.
 
 Prints one JSON line.
 """
@@ -26,7 +26,7 @@ from layoutdm_tpu.models.layoutdm import LayoutDM
 from layoutdm_tpu.tokenizer.bbox import BboxTokenizer
 from layoutdm_tpu.tokenizer.sequence import LayoutSequenceTokenizer
 
-CPU_REFERENCE_LAYOUTS_PER_SEC = 0.59  # see module docstring / BASELINE.md
+CPU_REFERENCE_LAYOUTS_PER_SEC = 0.32  # measured; see BASELINE.md
 
 
 def build_flagship():
