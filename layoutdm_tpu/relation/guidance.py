@@ -1,0 +1,129 @@
+"""Relation-constraint gradient guidance, INSIDE the compiled sampler.
+
+Re-design of `categorical_diffusion/logit_adjustment.py:16-126`: the
+reference mutates a torch Parameter with an SGD optimizer inside a no-grad
+sampling loop; here the same Eq.7 update is K steps of ``jax.grad`` w.r.t.
+the step's log-probs — a pure function compiled into the sampling scan, so
+relation-conditioned generation costs one XLA dispatch like every other task.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from layoutdm_tpu.configs import SamplingConfig
+from layoutdm_tpu.relation.const import relation_losses
+from layoutdm_tpu.tokenizer.sequence import LayoutSequenceTokenizer
+
+
+class RelationData(NamedTuple):
+    """Static padded relation graph for a batch (canvas = element 0)."""
+
+    edge_index: jnp.ndarray  # (B, E, 2)
+    edge_attr: jnp.ndarray  # (B, E)
+    edge_mask: jnp.ndarray  # (B, E)
+    src_is_canvas: jnp.ndarray  # (B, E)
+
+    @classmethod
+    def from_batch(cls, batch: dict) -> "RelationData":
+        """Build from a transformed batch (AddCanvasElement +
+        AddRelationConstraints applied)."""
+        ei = jnp.asarray(batch["edge_index"], jnp.int32)
+        label = jnp.asarray(batch["label"], jnp.int32)
+        src_label = jnp.take_along_axis(label, ei[..., 0], axis=1)
+        return cls(
+            edge_index=ei,
+            edge_attr=jnp.asarray(batch["edge_attr"], jnp.int32),
+            edge_mask=jnp.asarray(batch["edge_mask"], bool),
+            src_is_canvas=src_label == 0,
+        )
+
+
+def quantized_canvas_bbox(tokenizer: LayoutSequenceTokenizer) -> np.ndarray:
+    """The canvas box [0.5,0.5,1,1] after encode->decode quantization —
+    computed eagerly (host) so it is a constant under jit."""
+    bb = tokenizer.bbox_tokenizer
+    return np.asarray(
+        bb.decode(bb.encode(jnp.asarray([[0.5, 0.5, 1.0, 1.0]])))
+    ).reshape(1, 1, 4)
+
+
+def expected_bbox(
+    log_prob: jnp.ndarray,  # (B, S_tok, Vf)
+    tokenizer: LayoutSequenceTokenizer,
+    elem_mask: jnp.ndarray,  # (B, S_elem) valid (non-PAD) elements
+    canvas: np.ndarray = None,  # (1, 1, 4); computed eagerly if omitted
+) -> jnp.ndarray:
+    """Differentiable soft decode (`logit_adjustment.py:16-85`,
+    mode="average"): per coordinate, softmax the logits over that
+    coordinate's bin sub-vocabulary and take the expectation of the bin
+    centers.  Returns (B, S_elem+1, 4) with the canvas box prepended."""
+    C = tokenizer.N_var_per_element
+    B, S_tok, Vf = log_prob.shape
+    S = S_tok // C
+    bb = tokenizer.bbox_tokenizer
+
+    coords = []
+    for k, key in enumerate(bb.var_order):
+        sl = tokenizer.get_slice(key)
+        logits = log_prob[:, k + 1 :: C, sl]  # (B, S, nbins)
+        probs = jax.nn.softmax(logits, axis=-1)
+        canonical = ("x", "y", "w", "h").index(key)
+        centers = jnp.asarray(bb.centers[canonical])
+        coords.append((probs * centers).sum(-1))
+    # re-assemble to canonical xywh order
+    order = [tuple(bb.var_order).index(k) for k in ("x", "y", "w", "h")]
+    elem = jnp.stack([coords[i] for i in order], axis=-1)  # (B, S, 4)
+    elem = jnp.where(elem_mask[..., None], elem, 0.0)
+
+    if canvas is None:
+        canvas = quantized_canvas_bbox(tokenizer)
+    canvas = jnp.asarray(canvas)
+    return jnp.concatenate([jnp.broadcast_to(canvas, (B, 1, 4)), elem], axis=1)
+
+
+def make_relation_guidance(
+    tokenizer: LayoutSequenceTokenizer,
+    sampling: SamplingConfig,
+    rel: RelationData,
+):
+    """Returns ``guidance_fn(model_log_prob, t, cond)`` for the sampler.
+
+    Eq.7: K = relation_num_update gradient steps with step size
+    relation_lambda on the mean of the 14 constraint penalties; active only
+    for t >= 10 (`logit_adjustment.py:107`).
+    """
+    K = sampling.relation_num_update
+    lr = sampling.relation_lambda
+    pad_id = tokenizer.name_to_id("pad")
+    C = tokenizer.N_var_per_element
+    canvas = quantized_canvas_bbox(tokenizer)
+
+    def loss_fn(log_prob, elem_mask):
+        bbox_all = expected_bbox(log_prob, tokenizer, elem_mask, canvas)
+        losses = relation_losses(
+            bbox_all, rel.edge_index, rel.edge_attr, rel.edge_mask,
+            rel.src_is_canvas,
+        )
+        return losses.mean()
+
+    grad_fn = jax.grad(loss_fn)
+
+    def guidance(model_log_prob, t, cond):
+        elem_mask = cond.seq[:, ::C] != pad_id
+
+        def do_update(lp):
+            def body(_, lp):
+                return lp - lr * grad_fn(lp, elem_mask)
+
+            return jax.lax.fori_loop(0, K, body, lp)
+
+        return jax.lax.cond(
+            t >= 10, do_update, lambda lp: lp, model_log_prob
+        )
+
+    return guidance
