@@ -170,6 +170,7 @@ class TestConfig:
 
     job_dir: str = ""
     result_dir: str = "tmp/results"
+    dataset_dir: Optional[str] = None  # set if different for train/test
     cond: str = "unconditional"
     max_batch_size: int = 512
     num_run: int = 1

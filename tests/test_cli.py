@@ -1,0 +1,102 @@
+"""End-to-end CLI pipeline: train -> sample (tasks) -> eval -> render."""
+
+import glob
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def trained_job(tmp_path_factory):
+    from layoutdm_tpu.configs import build_train_config
+    from layoutdm_tpu.train.loop import train
+
+    job_dir = str(tmp_path_factory.mktemp("job"))
+    cfg = build_train_config(
+        "layoutdm",
+        "synthetic",
+        [
+            f"job_dir={job_dir}",
+            "debug=true",
+            "dataset.max_seq_length=4",
+            "data.batch_size=16",
+            "backbone.d_model=128",
+            "backbone.nhead=4",
+            "backbone.dim_feedforward=64",
+            "backbone.num_layers=1",
+            "model.num_timesteps=4",
+            "backbone.diffusion_step=4",
+        ],
+    )
+    # synthetic uses linear quantization (no kmeans fit in CI)
+    cfg.data.bbox_quantization = "linear"
+    result = train(cfg)
+    assert np.isfinite(result["best_val_loss"])
+    return job_dir
+
+
+def test_train_writes_artifacts(trained_job):
+    assert os.path.exists(os.path.join(trained_job, "config.json"))
+    assert os.path.exists(os.path.join(trained_job, "best_model.msgpack"))
+    assert os.path.exists(os.path.join(trained_job, "final_model.msgpack"))
+    assert os.path.exists(os.path.join(trained_job, "last_state.msgpack"))
+    assert os.path.exists(os.path.join(trained_job, "metrics.jsonl"))
+
+
+@pytest.mark.parametrize("cond", ["unconditional", "c", "cwh", "partial",
+                                  "refinement", "relation"])
+def test_sample_cli_all_tasks(trained_job, tmp_path, cond):
+    from layoutdm_tpu.sample_cli import main as sample_main
+
+    result_dir = str(tmp_path / "results")
+    sample_main(
+        [
+            f"job_dir={trained_job}",
+            f"result_dir={result_dir}",
+            f"cond={cond}",
+            "num_timesteps=4",
+            "num_uncond_samples=8",
+            "max_batch_size=8",
+            "debug_num_samples=8",
+        ]
+    )
+    pkls = glob.glob(os.path.join(result_dir, f"{cond}_*.pkl"))
+    assert len(pkls) == 1
+    with open(pkls[0], "rb") as f:
+        res = pickle.load(f)
+    assert len(res["results"]) >= 8
+    assert res["ms_per_sample"] > 0
+    for bbox, label in res["results"]:
+        assert bbox.shape[1] == 4 and bbox.shape[0] == label.shape[0]
+    if cond == "relation":
+        assert "violation_rate" in res
+
+
+def test_eval_and_render_cli(trained_job, tmp_path, capsys):
+    from layoutdm_tpu.eval_cli import main as eval_main
+    from layoutdm_tpu.render_cli import main as render_main
+    from layoutdm_tpu.sample_cli import main as sample_main
+
+    result_dir = str(tmp_path / "results")
+    sample_main(
+        [
+            f"job_dir={trained_job}",
+            f"result_dir={result_dir}",
+            "cond=c",
+            "num_timesteps=4",
+            "max_batch_size=16",
+            "debug_num_samples=16",
+        ]
+    )
+    eval_main([result_dir])
+    outp = capsys.readouterr().out
+    assert "alignment-LayoutGAN++" in outp
+    assert "maximum_iou" in outp
+
+    pkl = glob.glob(os.path.join(result_dir, "*.pkl"))[0]
+    render_main([pkl, "--num_samples", "8"])
+    out_dir = os.path.splitext(pkl)[0] + "_render"
+    assert os.path.exists(os.path.join(out_dir, "generated.png"))
+    assert os.path.exists(os.path.join(out_dir, "scores.csv"))
