@@ -228,6 +228,7 @@ def _overlay_blt(cfg: TrainConfig) -> None:
 def _overlay_bart(cfg: TrainConfig) -> None:
     cfg.model.name = "bart"
     cfg.data.special_tokens = ("pad", "bos", "eos", "mask")
+    cfg.data.var_order = "c-w-h-x-y"  # reference `models/bart.py:55`
     cfg.optimizer.lr = 5.0e-4
 
 

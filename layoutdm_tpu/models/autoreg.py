@@ -1,0 +1,155 @@
+"""LayoutTransformer baseline — pure autoregressive decoder-only model.
+
+Re-design of `models/elem_wise_autoreg.py:24-156`.  Training is standard
+next-token CE (label smoothing 0.1, PAD ignored) over BOS+sequence with a
+causal mask.  Sampling replaces the reference's growing-python-loop decode
+with a ``lax.scan`` over a FIXED-length buffer: each step runs the causal
+transformer on the full (static-shape) sequence and reads position i —
+per-slot vocabulary legality, conditioning-token forcing, and the
+refinement weak prior are masked ops inside the scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from layoutdm_tpu.configs import BackboneConfig, ModelConfig, SamplingConfig
+from layoutdm_tpu.models.base import cross_entropy
+from layoutdm_tpu.models.diffusion.sampler import SamplerCond
+from layoutdm_tpu.models.nn import CategoricalTransformer
+from layoutdm_tpu.ops.samplers import sample_tokens
+from layoutdm_tpu.tokenizer.sequence import LayoutSequenceTokenizer
+
+
+class ElemWiseAutoreg:
+    def __init__(
+        self,
+        backbone: BackboneConfig,
+        tokenizer: LayoutSequenceTokenizer,
+        model_cfg: Optional[ModelConfig] = None,
+        pos_emb: str = "default",
+        dtype=jnp.float32,
+    ):
+        assert "bos" in tokenizer.special_tokens
+        self.tokenizer = tokenizer
+        self.cfg = model_cfg or ModelConfig()
+        # token length including BOS; decode positions exclude it
+        self.seq_len = tokenizer.max_token_length  # already includes BOS
+        self.gen_len = self.seq_len - 1
+        self.num_classes = tokenizer.N_total
+        self.pad_id = tokenizer.name_to_id("pad")
+        self.bos_id = tokenizer.name_to_id("bos")
+        self.mask_id = tokenizer.name_to_id("mask")
+        self.net = CategoricalTransformer(
+            backbone=dataclasses.replace(backbone, timestep_type=None),
+            num_classes=self.num_classes,
+            max_token_length=self.seq_len,
+            pos_emb=pos_emb,
+            n_attr_per_elem=tokenizer.N_var_per_element,
+            lookahead=False,  # causal mask
+            dtype=dtype,
+        )
+        self._legal = jnp.asarray(tokenizer.token_mask())  # (gen_len, V)
+
+    def init(self, rng):
+        return self.net.init(
+            {"params": rng}, jnp.zeros((1, self.gen_len), jnp.int32)
+        )["params"]
+
+    def init_state(self):
+        return jnp.zeros(())
+
+    def _apply(self, params, seq, rng=None):
+        kwargs = {"deterministic": rng is None}
+        if rng is not None:
+            kwargs["rngs"] = {"dropout": rng}
+        return self.net.apply({"params": params}, seq, **kwargs)
+
+    def preprocess(self, batch: Dict, rng: Optional[jax.Array] = None) -> Dict:
+        """input = seq[:-1], target = seq[1:] (`elem_wise_autoreg.py:140-145`)."""
+        tokens = self.tokenizer.encode(batch)
+        return {
+            "seq": tokens["seq"][:, :-1],
+            "target": tokens["seq"][:, 1:],
+            "mask": tokens["mask"][:, 1:],
+        }
+
+    def loss(self, params, rng, tokens, state, is_train=True):
+        logits = self._apply(params, tokens["seq"], rng if is_train else None)
+        nll = cross_entropy(
+            logits,
+            tokens["target"],
+            tokens["target"] != self.pad_id,
+            label_smoothing=0.1,
+        )
+        return {"nll_loss": nll}, state
+
+    def sample_ids(
+        self,
+        params,
+        rng: jax.Array,
+        batch_size: int,
+        cond: Optional[SamplerCond] = None,
+        sampling: Optional[SamplingConfig] = None,
+        **kw,
+    ) -> jnp.ndarray:
+        """Token-by-token causal decode (`elem_wise_autoreg.py:74-138`);
+        returns generated ids WITHOUT the BOS column."""
+        sampling = sampling or SamplingConfig()
+        B, L = batch_size, self.gen_len
+
+        # fixed-length buffer: [BOS, 0, 0, ...]; step i fills position i+1
+        buf = jnp.full((B, L), self.bos_id, jnp.int32)
+
+        has_cond = cond is not None
+        if has_cond:
+            # cond.seq includes the BOS column (tokenizer encodes it)
+            cond_seq = cond.seq[:, 1:] if cond.seq.shape[1] == L + 1 \
+                else cond.seq
+            weak = cond.weak_logits
+            if weak.shape[1] == L + 1:
+                weak = weak[:, 1:]
+            weak_mask = cond.weak_mask
+            if weak_mask.shape[1] == L + 1:
+                weak_mask = weak_mask[:, 1:]
+        else:
+            cond_seq = jnp.full((B, L), self.mask_id, jnp.int32)
+            weak = jnp.zeros((B, L, self.num_classes), jnp.float32)
+            weak_mask = jnp.zeros((B, L), bool)
+
+        def step(carry, i):
+            buf, rng = carry
+            rng, r_s = jax.random.split(rng)
+            logits = self._apply(params, buf)  # (B, L, V)
+            logit_i = logits[:, i]  # (B, V), dynamic index
+            logit_i = logit_i + jnp.where(
+                weak_mask[:, i][:, None], weak[:, i], 0.0
+            )
+            legal_i = self._legal[i]  # traced gather over (L, V)
+            logit_i = jnp.where(legal_i[None, :], logit_i, -jnp.inf)
+            pred = sample_tokens(
+                r_s, logit_i, sampling.name, sampling.temperature,
+                sampling.top_k, sampling.top_p,
+            )
+            # force user-specified tokens (`elem_wise_autoreg.py:128-133`)
+            given = cond_seq[:, i]
+            pred = jnp.where(given == self.mask_id, pred, given)
+            # write at position i+1 (the final step's write is a no-op since
+            # no position equals L)
+            buf = jnp.where(
+                (jnp.arange(L) == i + 1)[None, :], pred[:, None], buf
+            )
+            return (buf, rng), pred
+
+        (_, _), preds = jax.lax.scan(
+            step, (buf, rng), jnp.arange(L)
+        )
+        return preds.T  # (B, L)
+
+    def sample(self, params, rng, batch_size, cond=None, sampling=None, **kw):
+        ids = self.sample_ids(params, rng, batch_size, cond, sampling, **kw)
+        return self.tokenizer.decode(ids)

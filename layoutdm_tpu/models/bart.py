@@ -1,0 +1,225 @@
+"""BART baseline — encoder-decoder with constrained AR decoding.
+
+Re-design of `models/bart.py:27-263`.  Training: the encoder sees a
+task-masked sequence (default: random masking), the causal decoder
+reconstructs the full sequence (teacher forcing, CE with PAD ignored).
+Backbones shrink 21/32 for parameter parity (`bart.py:62-63`).
+
+Sampling is a ``lax.scan`` over a fixed-length decoder buffer with
+per-position vocabulary legality, conditioning-token forcing, and the
+optional alphabetical-category-order constraint; the partial-task element
+re-insertion (`bart.py:184-212`) is host-side post-processing like the
+reference's python loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random as _random
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from layoutdm_tpu.configs import BackboneConfig, ModelConfig, SamplingConfig
+from layoutdm_tpu.models.base import cross_entropy
+from layoutdm_tpu.models.diffusion.sampler import SamplerCond
+from layoutdm_tpu.models.nn import CategoricalEncDecTransformer
+from layoutdm_tpu.ops.samplers import sample_tokens
+from layoutdm_tpu.tokenizer.sequence import LayoutSequenceTokenizer
+
+
+class BART:
+    def __init__(
+        self,
+        backbone: BackboneConfig,
+        tokenizer: LayoutSequenceTokenizer,
+        model_cfg: Optional[ModelConfig] = None,
+        sort_by: Optional[str] = None,
+        tasks: List[str] = ("random",),
+        pos_emb: str = "default",
+        dtype=jnp.float32,
+    ):
+        assert tokenizer.special_tokens == ("pad", "bos", "eos", "mask")
+        self.tokenizer = (
+            dataclasses.replace(tokenizer, sort_by=sort_by)
+            if sort_by
+            else tokenizer
+        )
+        self.cfg = model_cfg or ModelConfig()
+        self.tasks = list(tasks)
+        self.sort_by = sort_by
+        self.seq_len = tokenizer.max_token_length  # includes BOS
+        self.gen_len = self.seq_len - 1
+        self.num_classes = tokenizer.N_total
+        self.pad_id = tokenizer.name_to_id("pad")
+        self.bos_id = tokenizer.name_to_id("bos")
+        self.mask_id = tokenizer.name_to_id("mask")
+        self.net = CategoricalEncDecTransformer(
+            backbone=dataclasses.replace(
+                backbone.shrunk(21 / 32), timestep_type=None
+            ),
+            num_classes=self.num_classes,
+            max_token_length=self.seq_len,
+            pos_emb=pos_emb,
+            n_attr_per_elem=tokenizer.N_var_per_element,
+            dtype=dtype,
+        )
+        self._legal = jnp.asarray(self.tokenizer.token_mask())
+
+    def init(self, rng):
+        z = jnp.zeros((1, self.seq_len), jnp.int32)
+        return self.net.init({"params": rng}, z, z[:, :-1])["params"]
+
+    def init_state(self):
+        return jnp.zeros(())
+
+    def _apply(self, params, enc_in, dec_in, rng=None):
+        kwargs = {"deterministic": rng is None}
+        if rng is not None:
+            kwargs["rngs"] = {"dropout": rng}
+        return self.net.apply({"params": params}, enc_in, dec_in, **kwargs)
+
+    # -- training -----------------------------------------------------------
+    def preprocess(self, batch: Dict, rng: Optional[jax.Array] = None) -> Dict:
+        """Random-masked input -> full-sequence target (`bart.py:218-252`)."""
+        from layoutdm_tpu.tasks import get_cond
+
+        data = self.tokenizer.encode(batch)
+        task = _random.choice(self.tasks)
+        if task == "unconditional":
+            inp = data["seq"].at[:, 1:].set(self.mask_id)
+        else:
+            inp = get_cond(
+                rng if rng is not None else jax.random.PRNGKey(0),
+                batch,
+                self.tokenizer,
+                task,
+            )["seq"]
+        return {"seq": inp, "target": data["seq"]}
+
+    def loss(self, params, rng, tokens, state, is_train=True):
+        logits = self._apply(
+            params,
+            tokens["seq"],
+            tokens["target"][:, :-1],
+            rng if is_train else None,
+        )
+        nll = cross_entropy(
+            logits,
+            tokens["target"][:, 1:],
+            tokens["target"][:, 1:] != self.pad_id,
+        )
+        return {"nll_loss": nll}, state
+
+    # -- sampling -----------------------------------------------------------
+    def sample_ids(
+        self,
+        params,
+        rng: jax.Array,
+        batch_size: int,
+        cond: Optional[SamplerCond] = None,
+        sampling: Optional[SamplingConfig] = None,
+        cond_type: Optional[str] = None,
+        **kw,
+    ) -> jnp.ndarray:
+        """Constrained AR decode (`bart.py:103-216`); returns ids without
+        BOS."""
+        sampling = sampling or SamplingConfig()
+        B, L = batch_size, self.gen_len
+        C = self.tokenizer.N_var_per_element
+        alpha = self.sort_by == "category_alphabetical"
+        is_special = alpha and cond_type == "partial"
+
+        if cond is not None:
+            enc_in = cond.seq
+            seq_user = cond.seq
+            mask_user = cond.strong_mask
+        else:
+            enc_in = jnp.concatenate(
+                [
+                    jnp.full((B, 1), self.bos_id, jnp.int32),
+                    jnp.full((B, L), self.mask_id, jnp.int32),
+                ],
+                axis=1,
+            )
+            seq_user = jnp.full((B, L + 1), self.mask_id, jnp.int32)
+            mask_user = jnp.zeros((B, L + 1), bool)
+
+        force = (cond is not None) and not is_special
+
+        def step(carry, i):
+            buf, rng = carry  # buf: (B, L+1) decoder inputs, BOS at 0
+            rng, r_s = jax.random.split(rng)
+            # feed the full fixed-length buffer (causal mask hides the
+            # future); read the prediction for position i
+            logits = self._apply(params, enc_in, buf)  # (B, L+1, V)
+            logit_i = logits[:, i]  # (B, V), dynamic index
+            legal_i = self._legal[i]
+            illegal = ~legal_i[None, :]
+            if alpha:
+                # category monotonicity (`bart.py:162-171`)
+                prev_cat = buf[:, jnp.maximum(i - (C - 1), 0)]
+                vocab = jnp.arange(self.num_classes)
+                apply_rule = (i % C == 0) & (i // C > 0)
+                illegal = illegal | (
+                    apply_rule & (vocab[None, :] < prev_cat[:, None])
+                )
+            logit_i = jnp.where(illegal, -jnp.inf, logit_i)
+            pred = sample_tokens(
+                r_s, logit_i, sampling.name, sampling.temperature,
+                sampling.top_k, sampling.top_p,
+            )
+            if force:
+                given = seq_user[:, i + 1]
+                known = mask_user[:, i + 1]
+                pred = jnp.where(known, given, pred)
+            buf = jnp.where(
+                (jnp.arange(L + 1) == i + 1)[None, :], pred[:, None], buf
+            )
+            return (buf, rng), pred
+
+        buf0 = jnp.full((B, L + 1), self.bos_id, jnp.int32)
+        (buf, _), preds = jax.lax.scan(step, (buf0, rng), jnp.arange(L))
+        seq = preds.T  # (B, L)
+
+        if is_special and cond is not None:
+            seq = self._reinsert_partial(np.asarray(seq), cond)
+        return seq
+
+    def _reinsert_partial(self, seq: np.ndarray, cond: SamplerCond):
+        """Partial-task element re-insertion under alphabetical ordering
+        (`bart.py:184-212`), host-side."""
+        C = self.tokenizer.N_var_per_element
+        B = seq.shape[0]
+        rng = _random.Random(0)
+        seq = seq.copy()
+        cseq = np.asarray(cond.seq)
+        cmask = np.asarray(cond.strong_mask)
+        for b in range(B):
+            kept = cseq[b][cmask[b]][1:]  # drop BOS
+            kept = kept[: (len(kept) // C) * C].reshape(-1, C)
+            elems = seq[b].reshape(-1, C)
+            remaining = list(kept)
+            kept_set = {tuple(e.tolist()) for e in kept}
+            # insert where ordering admits it
+            for s in range(elems.shape[0]):
+                if not remaining:
+                    break
+                if elems[s, 0] >= remaining[0][0]:
+                    elems[s] = remaining.pop(0)
+            # randomly replace for leftovers
+            guard = 0
+            while remaining and guard < 1000:
+                guard += 1
+                ind = rng.randint(0, elems.shape[0] - 1)
+                if tuple(elems[ind].tolist()) in kept_set:
+                    continue
+                elems[ind] = remaining.pop(0)
+            seq[b] = elems.reshape(-1)
+        return jnp.asarray(seq)
+
+    def sample(self, params, rng, batch_size, cond=None, sampling=None, **kw):
+        ids = self.sample_ids(params, rng, batch_size, cond, sampling, **kw)
+        return self.tokenizer.decode(ids)

@@ -93,11 +93,13 @@ class LayoutDM:
         self,
         params,
         rng: jax.Array,
-        seq: jnp.ndarray,
+        tokens,
         lt_state: LtState,
         is_train: bool = True,
     ):
-        """(losses dict, new LtState).  ``seq``: (B, S) clean token ids."""
+        """(losses dict, new LtState).  ``tokens``: preprocess output with
+        ``seq`` (B, S) clean token ids (or a raw seq array)."""
+        seq = tokens["seq"] if isinstance(tokens, dict) else tokens
         losses, new_state, _ = diffusion_loss(
             self.q,
             self._predict_start,

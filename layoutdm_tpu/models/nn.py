@@ -246,6 +246,117 @@ class ElementPositionalEmbedding(nn.Module):
         return emb[None]
 
 
+class CrossAttention(nn.Module):
+    """Decoder cross-attention (packed kv for torch-layout porting)."""
+
+    d_model: int
+    nhead: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory, deterministic: bool = True):
+        B, S, D = x.shape
+        M = memory.shape[1]
+        H = self.nhead
+        hd = D // H
+        q = nn.Dense(D, name="q", dtype=self.dtype)(x).reshape(B, S, H, hd)
+        kv = nn.Dense(2 * D, name="kv", dtype=self.dtype)(memory)
+        k, v = jnp.split(kv, 2, axis=-1)
+        k = k.reshape(B, M, H, hd)
+        v = v.reshape(B, M, H, hd)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
+            self.dtype
+        )
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, S, D)
+        return nn.Dense(D, name="out", dtype=self.dtype)(out)
+
+
+class DecoderBlock(nn.Module):
+    """Pre-norm transformer decoder block (causal self-attn + cross-attn +
+    FF), mirroring torch ``nn.TransformerDecoderLayer(norm_first=True)`` as
+    instantiated at `models/bart.py:66-74`."""
+
+    cfg: BackboneConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory, attn_mask=None, deterministic=True):
+        c = self.cfg
+        h = nn.LayerNorm(name="norm1")(x)
+        h = SelfAttention(c.d_model, c.nhead, c.dropout, dtype=self.dtype,
+                          name="self_attn")(h, attn_mask,
+                                            deterministic=deterministic)
+        x = x + nn.Dropout(c.dropout)(h, deterministic=deterministic)
+        h = nn.LayerNorm(name="norm2")(x)
+        h = CrossAttention(c.d_model, c.nhead, c.dropout, dtype=self.dtype,
+                           name="cross_attn")(h, memory, deterministic)
+        x = x + nn.Dropout(c.dropout)(h, deterministic=deterministic)
+        h = nn.LayerNorm(name="norm3")(x)
+        h = nn.Dense(c.dim_feedforward, name="linear1", dtype=self.dtype)(h)
+        h = ACTIVATIONS[c.activation](h)
+        h = nn.Dense(c.d_model, name="linear2", dtype=self.dtype)(h)
+        x = x + nn.Dropout(c.dropout)(h, deterministic=deterministic)
+        return x
+
+
+class CategoricalEncDecTransformer(nn.Module):
+    """BART-style encoder-decoder over token sequences
+    (`nn_lib.py:316-400`): encoder = the shared timestep-free encoder,
+    decoder = pre-norm causal decoder with cross-attention."""
+
+    backbone: BackboneConfig
+    num_classes: int
+    max_token_length: int  # decoder length (incl BOS)
+    pos_emb: str = "default"
+    n_attr_per_elem: int = 5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_seq: jnp.ndarray,  # (B, S_enc) encoder tokens (BOS first)
+        target_seq: jnp.ndarray,  # (B, S_dec) decoder input tokens
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        c = self.backbone
+
+        def posmod(name):
+            if self.pos_emb == "default":
+                return PositionalEmbedding(
+                    c.d_model, self.max_token_length, name=name
+                )
+            return ElementPositionalEmbedding(
+                c.d_model, self.max_token_length, self.n_attr_per_elem,
+                name=name,
+            )
+
+        h_enc = nn.Embed(self.num_classes, c.d_model, name="input_emb")(
+            input_seq
+        )
+        h_enc = h_enc + posmod("input_pos")(input_seq.shape[1])
+        h_enc = nn.Dropout(0.1)(h_enc, deterministic=deterministic)
+        memory = TransformerEncoder(c, dtype=self.dtype, name="encoder")(
+            h_enc.astype(self.dtype), deterministic=deterministic
+        )
+
+        tgt = nn.Embed(self.num_classes, c.d_model, name="target_emb")(
+            target_seq
+        )
+        S = target_seq.shape[1]
+        tgt = tgt + posmod("target_pos")(S)
+        causal = jnp.triu(jnp.full((S, S), -jnp.inf), k=1)
+        h = tgt.astype(self.dtype)
+        for i in range(c.num_layers):
+            h = DecoderBlock(c, dtype=self.dtype, name=f"dec{i}")(
+                h, memory, causal, deterministic
+            )
+        h = h.astype(jnp.float32)
+        h = nn.LayerNorm(name="head_norm")(h)
+        return nn.Dense(self.num_classes, use_bias=False, name="head")(h)
+
+
 class CategoricalTransformer(nn.Module):
     """Token-sequence denoiser (`nn_lib.py:137-237`): embed -> pos ->
     timestep-aware encoder -> LN + linear head over the vocabulary."""

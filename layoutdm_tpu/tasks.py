@@ -43,6 +43,8 @@ def get_cond(
     pad_id = tokenizer.name_to_id("pad")
     mask_id = tokenizer.name_to_id("mask")
     C = tokenizer.N_var_per_element
+    has_bos = "bos" in tokenizer.special_tokens
+    start = 1 if has_bos else 0  # BOS column offset (`task.py:63,97-99`)
 
     cond = dict(tokenizer.encode(batch))
     elem_mask = jnp.asarray(batch["mask"], dtype=bool)
@@ -51,10 +53,10 @@ def get_cond(
 
     if cond_type == "partial":
         # keep a random <=30% prefix-worth of valid elements (`task.py:62-92`)
-        n_elem = S // C
+        n_elem = (S - start) // C
         r_scores, r_topk = jax.random.split(rng)
         scores = jax.random.uniform(r_scores, (B, n_elem))
-        mask_e = cond["mask"][:, ::C]
+        mask_e = cond["mask"][:, start::C]
         n_valid = mask_e.sum(axis=1)
         vmax = jnp.maximum(
             ((n_valid - 1) * MAX_PARTIAL_RATIO).astype(jnp.int32), 1
@@ -63,17 +65,35 @@ def get_cond(
         topk = jnp.minimum(topk, jnp.maximum(n_valid, 1))
         keep_e, _ = batch_topk_mask(scores, topk, mask=mask_e)
         keep = jnp.repeat(keep_e, C, axis=1)
-        cond["seq"] = jnp.where(keep, cond["seq"], mask_id)
-        cond["mask"] = keep
+        if has_bos:
+            # order-sensitive models: shift kept tokens to the front
+            # (`task.py:79-89`); host-side compaction
+            keep_np = np.concatenate(
+                [np.ones((B, 1), bool), np.asarray(keep)], axis=1
+            )
+            seq_np = np.asarray(cond["seq"])
+            new_seq = np.full_like(seq_np, mask_id)
+            new_mask = np.zeros_like(keep_np)
+            for i in range(B):
+                kept = seq_np[i][keep_np[i]]
+                new_seq[i, : len(kept)] = kept
+                new_mask[i, : len(kept)] = True
+            cond["seq"] = jnp.asarray(new_seq)
+            cond["mask"] = jnp.asarray(new_mask)
+        else:
+            cond["seq"] = jnp.where(keep, cond["seq"], mask_id)
+            cond["mask"] = keep
 
     elif cond_type in ("c", "cwh", "relation"):
         given = {"c": ("c",), "cwh": ("c", "w", "h"), "relation": ("c",)}[
             cond_type
         ]
-        attr_ind = jnp.arange(S) % C
+        attr_ind = (jnp.arange(S) - start) % C
         keep = jnp.zeros((B, S), dtype=bool)
         for name in given:
             keep = keep | (attr_ind == tokenizer.var_names.index(name))[None, :]
+        if has_bos:
+            keep = keep.at[:, 0].set(True)
         seq = jnp.where(keep, cond["seq"], mask_id)
         # element count is known: write PAD into empty elements
         seq = jnp.where(cond["mask"], seq, pad_id)
@@ -101,8 +121,10 @@ def get_cond(
                 "mask": batch["mask"],
             }
         )
-        idx = jnp.arange(S) % C
+        idx = (jnp.arange(S) - start) % C
         keep = (noisy["mask"] & (idx == 0)[None, :]) | ~noisy["mask"]
+        if has_bos:
+            keep = keep.at[:, 0].set(True)
         seq = jnp.where(keep, noisy["seq"], mask_id)
         seq = jnp.where(noisy["mask"], seq, pad_id)
         cond = {
@@ -220,8 +242,11 @@ def to_sampler_cond(
 
     pad_suppress = jnp.zeros((B, S), bool)
     if ctype in ("c", "cwh", "refinement", "relation"):
-        attr_idx = jnp.arange(S) % C
+        start = 1 if "bos" in tokenizer.special_tokens else 0
+        attr_idx = (jnp.arange(S) - start) % C
         pad_suppress = (attr_idx != 0)[None, :] & (seq != pad_id)
+        if start:
+            pad_suppress = pad_suppress.at[:, 0].set(False)
 
     return SamplerCond(
         seq=seq,

@@ -97,7 +97,7 @@ def train(cfg: TrainConfig) -> Dict:
             ):
                 rng, r_pre, r_step = jax.random.split(rng, 3)
                 tokens = model.preprocess(batch, r_pre)
-                state, metrics = train_step(state, r_step, tokens["seq"])
+                state, metrics = train_step(state, r_step, tokens)
                 n_steps += 1
                 for k, v in metrics.items():
                     totals[k] = totals.get(k, 0.0) + float(v)
@@ -115,7 +115,7 @@ def train(cfg: TrainConfig) -> Dict:
                 rng, r_pre, r_eval = jax.random.split(rng, 3)
                 tokens = model.preprocess(batch, r_pre)
                 val_losses += float(
-                    eval_step(state.params, state.lt_state, r_eval, tokens["seq"])
+                    eval_step(state.params, state.lt_state, r_eval, tokens)
                 )
                 n_val += 1
                 if cfg.debug and n_val >= 2:

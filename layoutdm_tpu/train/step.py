@@ -107,10 +107,10 @@ def make_train_step(model, optimizer, mesh: Optional[Mesh] = None):
     """Build the jitted train step.  With a mesh, batch is data-sharded and
     everything else replicated; single-device otherwise."""
 
-    def step_fn(state: TrainState, rng: jax.Array, seq: jnp.ndarray):
+    def step_fn(state: TrainState, rng: jax.Array, tokens):
         def loss_fn(params):
             losses, new_lt = model.loss(
-                params, rng, seq, state.lt_state, is_train=True
+                params, rng, tokens, state.lt_state, is_train=True
             )
             total = sum(losses.values())
             return total, (losses, new_lt)
@@ -147,8 +147,8 @@ def make_train_step(model, optimizer, mesh: Optional[Mesh] = None):
 def make_eval_step(model, mesh: Optional[Mesh] = None):
     """Validation loss (no dropout rng, no aux loss) — `main.py:271-294`."""
 
-    def eval_fn(params, lt_state, rng, seq):
-        losses, _ = model.loss(params, rng, seq, lt_state, is_train=False)
+    def eval_fn(params, lt_state, rng, tokens):
+        losses, _ = model.loss(params, rng, tokens, lt_state, is_train=False)
         return sum(losses.values())
 
     if mesh is None:
