@@ -250,9 +250,27 @@ def _overlay_vqdiffusion(cfg: TrainConfig) -> None:
     cfg.model.q_type = "vanilla"
 
 
+def _overlay_diffusionlm(cfg: TrainConfig) -> None:
+    cfg.model.name = "diffusionlm"
+    cfg.data.pad_until_max = True
+    cfg.optimizer.lr = 5.0e-4
+    cfg.backbone.timestep_type = "adalayernorm_mlp"
+    cfg.backbone.dropout = 0.0
+
+
+def _overlay_bitdiffusion(cfg: TrainConfig) -> None:
+    cfg.model.name = "bitdiffusion"
+    cfg.data.pad_until_max = True
+    cfg.optimizer.lr = 5.0e-4
+    cfg.backbone.timestep_type = "adalayernorm_mlp"
+    cfg.backbone.dropout = 0.0
+
+
 EXPERIMENTS = {
     "layoutdm": _overlay_layoutdm,
     "vqdiffusion": _overlay_vqdiffusion,
+    "diffusionlm": _overlay_diffusionlm,
+    "bitdiffusion": _overlay_bitdiffusion,
     "maskgit": _overlay_maskgit,
     "blt": _overlay_blt,
     "bart": _overlay_bart,

@@ -104,7 +104,7 @@ def build_model(cfg: TrainConfig, tokenizer=None, train_data=None):
 
         return BART(cfg.backbone, tokenizer, cfg.model)
     if name in ("diffusionlm", "bitdiffusion"):
-        from layoutdm_tpu.models.continuous.wrapper import (
+        from layoutdm_tpu.models.continuous.models import (
             LayoutContinuousDiffusion,
         )
 
