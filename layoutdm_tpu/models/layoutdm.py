@@ -56,14 +56,27 @@ class LayoutDM:
             )
 
         self.backbone_cfg = backbone.shrunk(29 / 32)
-        self.net = CategoricalTransformer(
-            backbone=self.backbone_cfg,
-            num_classes=self.num_classes,
-            max_token_length=self.seq_len,
-            pos_emb=cfg.pos_emb,
-            n_attr_per_elem=tokenizer.N_var_per_element,
-            dtype=dtype,
-        )
+        if cfg.transformer_type == "aggregated":
+            from layoutdm_tpu.models.nn import CategoricalAggregatedTransformer
+
+            # extra 27/29 shrink for parameter parity (`base.py:85-93`)
+            self.backbone_cfg = self.backbone_cfg.shrunk(27 / 29)
+            self.net = CategoricalAggregatedTransformer(
+                backbone=self.backbone_cfg,
+                num_classes=self.num_classes,
+                max_token_length=self.seq_len,
+                n_attr_per_elem=tokenizer.N_var_per_element,
+                dtype=dtype,
+            )
+        else:
+            self.net = CategoricalTransformer(
+                backbone=self.backbone_cfg,
+                num_classes=self.num_classes,
+                max_token_length=self.seq_len,
+                pos_emb=cfg.pos_emb,
+                n_attr_per_elem=tokenizer.N_var_per_element,
+                dtype=dtype,
+            )
         self._predict_start = make_predict_start(
             self._apply_net, self.num_classes
         )

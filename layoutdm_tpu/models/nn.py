@@ -246,6 +246,48 @@ class ElementPositionalEmbedding(nn.Module):
         return emb[None]
 
 
+class CategoricalAggregatedTransformer(nn.Module):
+    """Element-aggregated denoiser (`nn_lib.py:403-452`): the 5 attribute
+    embeddings of each element are fused to one token before the encoder and
+    expanded back afterwards — 5x shorter attention at the cost of
+    intra-element mixing.  Used by LayoutDM's ``transformer_type =
+    "aggregated"`` ablation (`categorical_diffusion/base.py:85-93`)."""
+
+    backbone: BackboneConfig
+    num_classes: int
+    max_token_length: int
+    n_attr_per_elem: int = 5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        seq: jnp.ndarray,
+        timestep: Optional[jnp.ndarray] = None,
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        c = self.backbone
+        A = self.n_attr_per_elem
+        B, S = seq.shape
+        h = nn.Embed(self.num_classes, c.d_model, name="cat_emb")(seq)
+        h = nn.Dropout(0.1)(h, deterministic=deterministic)
+        h = h.reshape(B, S // A, A * c.d_model)
+        h = jax.nn.relu(nn.Dense(c.d_model, name="enc")(h))
+        h = h + PositionalEmbedding(
+            c.d_model, self.max_token_length, name="pos"
+        )(S // A)
+        h = TransformerEncoder(c, dtype=self.dtype, name="backbone")(
+            h.astype(self.dtype), timestep, None, key_padding_mask,
+            deterministic,
+        )
+        h = h.astype(jnp.float32)
+        h = jax.nn.relu(nn.Dense(A * c.d_model, name="dec")(h))
+        h = h.reshape(B, S, c.d_model)
+        h = nn.LayerNorm(name="head_norm")(h)
+        return nn.Dense(self.num_classes, use_bias=False, name="head")(h)
+
+
 class CrossAttention(nn.Module):
     """Decoder cross-attention (packed kv for torch-layout porting)."""
 

@@ -37,6 +37,10 @@ logger = logging.getLogger(__name__)
 
 
 def train(cfg: TrainConfig) -> Dict:
+    if cfg.debug:
+        # numeric sanitizer — the moral equivalent of the reference's
+        # always-on `torch.autograd.set_detect_anomaly(True)` (`main.py:33`)
+        jax.config.update("jax_debug_nans", True)
     rng_np = np.random.RandomState(cfg.seed)
     rng = jax.random.PRNGKey(cfg.seed)
 
@@ -85,11 +89,24 @@ def train(cfg: TrainConfig) -> Dict:
     ckpt.save_config(cfg, job_dir)
     log_path = os.path.join(job_dir, "metrics.jsonl")
     best_val = float("inf")
+    start_epoch = 0
+
+    # preemption resume: full state (params+opt+Lt+step) was checkpointed
+    # every epoch — the capability the reference lacks (SURVEY.md §5)
+    state_path = os.path.join(job_dir, "last_state.msgpack")
+    meta_path = os.path.join(job_dir, "resume.json")
+    if os.path.exists(state_path) and os.path.exists(meta_path):
+        state = ckpt.load_train_state(state, job_dir)
+        with open(meta_path) as f:
+            meta = json.load(f)
+        start_epoch = meta["epoch"] + 1
+        best_val = meta["best_val"]
+        logger.info("resumed from epoch %d (best_val %.4f)", start_epoch, best_val)
 
     epochs = 2 if cfg.debug else cfg.training.epochs
     totals = {}
     with mesh:
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             t0 = time.time()
             totals, n_steps = {}, 0
             for batch in batch_iterator(
@@ -140,12 +157,79 @@ def train(cfg: TrainConfig) -> Dict:
                 best_val = val_loss
                 ckpt.save_params(state.params, job_dir, "best")
             ckpt.save_train_state(state, job_dir)
+            with open(meta_path, "w") as f:
+                json.dump({"epoch": epoch, "best_val": best_val}, f)
+
+            # periodic sample rendering (`main.py:128-142`)
+            if (
+                cfg.training.sample_plot_epoch_interval > 0
+                and (epoch + 1) % cfg.training.sample_plot_epoch_interval == 0
+                and hasattr(model, "sample")
+            ):
+                try:
+                    rng, r_s = jax.random.split(rng)
+                    layouts = model.sample(state.params, r_s, 16)
+                    from layoutdm_tpu.utils.visualization import save_image
+
+                    save_image(
+                        {k: np.asarray(v) for k, v in layouts.items()},
+                        os.path.join(job_dir, f"samples_epoch{epoch}.png"),
+                        cfg.dataset.num_categories,
+                    )
+                except Exception as e:  # rendering must never kill training
+                    logger.warning("sample render failed: %s", e)
+
+            # periodic FID against the val split (`main.py:153-193`),
+            # only when extractor weights are available
+            fid_every = max(epochs // 10, 1)
+            if (epoch + 1) % fid_every == 0 and os.path.isdir(
+                os.path.join(
+                    cfg.fid_weight_dir,
+                    f"{cfg.dataset.name}-max{cfg.dataset.max_seq_length}",
+                )
+            ):
+                try:
+                    fid = _compute_training_fid(cfg, model, state, val_data, rng)
+                    with open(log_path, "a") as f:
+                        f.write(json.dumps({"epoch": epoch, "fid_val": fid}) + "\n")
+                    logger.info("epoch %d FID(val) %.3f", epoch, fid)
+                except Exception as e:
+                    logger.warning("FID eval failed: %s", e)
 
     ckpt.save_params(state.params, job_dir, "final")
     result = {"best_val_loss": best_val, "final_train": totals}
     with open(os.path.join(job_dir, "result.json"), "w") as f:
         json.dump(result, f)
     return result
+
+
+def _compute_training_fid(cfg, model, state, val_data, rng, n_samples=256):
+    """In-training FID probe (`main.py:153-193`): features of generated
+    samples vs the val split."""
+    from layoutdm_tpu.eval.fidnet import load_fidnet_v3, make_feature_extractor
+    from layoutdm_tpu.eval.metrics import compute_generative_model_scores
+
+    fid_model, fid_params = load_fidnet_v3(
+        cfg.dataset.name,
+        cfg.dataset.num_categories,
+        cfg.fid_weight_dir,
+        cfg.dataset.max_seq_length,
+    )
+    extract = make_feature_extractor(fid_model, fid_params)
+    feats_real = np.asarray(
+        extract(val_data.bbox, val_data.label, val_data.mask)
+    )
+    layouts = model.sample(state.params, rng, n_samples)
+    feats_fake = np.asarray(
+        extract(
+            np.asarray(layouts["bbox"]),
+            np.asarray(layouts["label"]),
+            np.asarray(layouts["mask"]),
+        )
+    )
+    return float(
+        compute_generative_model_scores(feats_real, feats_fake)["fid"]
+    )
 
 
 def main(argv=None):

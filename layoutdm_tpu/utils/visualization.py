@@ -73,9 +73,123 @@ def save_image(
         )
         for i in range(B)
     ]
+    _save_grid(imgs, out_path, canvas_size, ncols)
+
+
+def _text_card(
+    lines,
+    out_size: Tuple[int, int],
+    colors: Optional[Sequence[Tuple[int, int, int]]] = None,
+    color_ids: Optional[Sequence[int]] = None,
+) -> "Image.Image":
+    W, H = out_size
+    img = Image.new("RGB", (W, H), (255, 255, 255))
+    draw = ImageDraw.Draw(img)
+    y = 8
+    for i, line in enumerate(lines):
+        col = (0, 0, 0)
+        if colors is not None and color_ids is not None:
+            col = colors[color_ids[i] % len(colors)]
+        draw.text((8, y), line, fill=col)
+        y += 14
+        if y > H - 14:
+            break
+    return img
+
+
+def save_label(
+    layouts: Dict[str, np.ndarray],
+    out_path: str,
+    label_names: Sequence[str],
+    canvas_size: Tuple[int, int] = (360, 520),
+    ncols: Optional[int] = None,
+) -> None:
+    """Card listing each layout's category names (`visualization.py:118-183`)."""
+    colors = category_colors(len(label_names))
+    label = np.asarray(layouts["label"])
+    mask = np.asarray(layouts["mask"])
+    B = label.shape[0]
+    cards = []
+    for i in range(B):
+        ls = label[i][mask[i]]
+        cards.append(
+            _text_card(
+                [label_names[int(l)] for l in ls], canvas_size, colors, ls
+            )
+        )
+    _save_grid(cards, out_path, canvas_size, ncols)
+
+
+def save_label_with_size(
+    layouts: Dict[str, np.ndarray],
+    out_path: str,
+    label_names: Sequence[str],
+    canvas_size: Tuple[int, int] = (360, 520),
+    ncols: Optional[int] = None,
+) -> None:
+    """Label + (w, h) card (`visualization.py:186-233`)."""
+    colors = category_colors(len(label_names))
+    label = np.asarray(layouts["label"])
+    bbox = np.asarray(layouts["bbox"])
+    mask = np.asarray(layouts["mask"])
+    cards = []
+    for i in range(label.shape[0]):
+        ls = label[i][mask[i]]
+        bs = bbox[i][mask[i]]
+        lines = [
+            f"{label_names[int(l)]} ({b[2]:.2f}x{b[3]:.2f})"
+            for l, b in zip(ls, bs)
+        ]
+        cards.append(_text_card(lines, canvas_size, colors, ls))
+    _save_grid(cards, out_path, canvas_size, ncols)
+
+
+REL_TEXT = {
+    1: "smaller than",
+    2: "equal to",
+    3: "larger than",
+    5: "left of",
+    6: "above",
+    7: "right of",
+    8: "below",
+    9: "around",
+}
+
+
+def save_relation(
+    layouts: Dict[str, np.ndarray],
+    edges: Dict[str, np.ndarray],  # edge_index/edge_attr/edge_mask (B, E, ..)
+    out_path: str,
+    label_names: Sequence[str],
+    canvas_size: Tuple[int, int] = (360, 520),
+    ncols: Optional[int] = None,
+) -> None:
+    """Relation-triplet card (`visualization.py:249-351`): one line per
+    imposed constraint, 'A <rel> B'."""
+    label = np.asarray(layouts["label"])
+    cards = []
+    names = ["canvas"] + list(label_names)
+    for b in range(label.shape[0]):
+        lines = []
+        for e in range(edges["edge_index"].shape[1]):
+            if not edges["edge_mask"][b, e]:
+                continue
+            i, j = edges["edge_index"][b, e]
+            attr = int(edges["edge_attr"][b, e])
+            li = names[int(label[b, i])] if int(label[b, i]) < len(names) else "?"
+            lj = names[int(label[b, j])] if int(label[b, j]) < len(names) else "?"
+            for bit, text in REL_TEXT.items():
+                if attr & (1 << bit):
+                    lines.append(f"{lj} {text} {li}")
+        cards.append(_text_card(lines, canvas_size))
+    _save_grid(cards, out_path, canvas_size, ncols)
+
+
+def _save_grid(imgs, out_path, canvas_size, ncols=None):
+    W, H = canvas_size
+    B = len(imgs)
     ncols = ncols or int(np.ceil(np.sqrt(B)))
     nrows = int(np.ceil(B / ncols))
-    W, H = canvas_size
     pad = 4
     grid = Image.new(
         "RGB",
