@@ -29,7 +29,7 @@ from layoutdm_tpu.tokenizer.sequence import LayoutSequenceTokenizer
 CPU_REFERENCE_LAYOUTS_PER_SEC = 0.32  # measured; see BASELINE.md
 
 
-def build_flagship():
+def build_flagship(dtype=jnp.float32):
     bb = BboxTokenizer(num_bins=32, shared_vocab="x-y-w-h", quantization="linear")
     tok = LayoutSequenceTokenizer(
         bbox_tokenizer=bb,
@@ -48,11 +48,12 @@ def build_flagship():
         diffusion_step=100,
     )
     cfg = ModelConfig(q_type="constrained", num_timesteps=100)
-    return LayoutDM(backbone, tok, cfg)
+    return LayoutDM(backbone, tok, cfg, dtype=dtype)
 
 
 def main():
-    model = build_flagship()
+    # bf16 activations (f32 params/logits): the denoiser dominates the step
+    model = build_flagship(dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0))
     sampling = SamplingConfig(name="random")
 

@@ -265,20 +265,26 @@ def compute_maximum_iou(
             out.setdefault(str(sorted(l.tolist())), []).append((b, l))
         return out
 
+    from layoutdm_tpu import native
+
     g1, g2 = group(layouts_1), group(layouts_2)
     keys = set(g1) & set(g2)
     all_scores = []
     for k in keys:
         a, b = g1[k], g2[k]
         N, M = len(a), len(b)
-        scores = np.asarray(
-            [
-                _max_iou_two_layouts(a[i], b[j])
-                for i in range(N)
-                for j in range(M)
-            ]
-        ).reshape(N, M)
-        ii, jj = linear_sum_assignment(scores, maximize=True)
+        # native engine computes the whole N x M pair-score matrix in C++
+        # (per-label IoU Hungarian inside); python fallback otherwise
+        scores = native.max_iou_score_matrix(a, b)
+        if scores is None:
+            scores = np.asarray(
+                [
+                    _max_iou_two_layouts(a[i], b[j])
+                    for i in range(N)
+                    for j in range(M)
+                ]
+            ).reshape(N, M)
+        ii, jj = native.linear_sum_assignment(scores, maximize=True)
         all_scores.append(scores[ii, jj])
     if not all_scores:
         return 0.0
