@@ -27,8 +27,10 @@ def batch_topk_mask(
     """
     if mask is not None:
         scores = jnp.where(mask, scores, -jnp.inf)
+    S = scores.shape[-1]
     sorted_desc = jnp.sort(scores, axis=-1)[:, ::-1]
-    kth = jnp.take_along_axis(sorted_desc, topk[:, None], axis=1)
+    idx = jnp.clip(topk[:, None], 0, S - 1)  # OOB gather fills NaN in jax
+    kth = jnp.take_along_axis(sorted_desc, idx, axis=1)
     return scores > kth, kth
 
 
