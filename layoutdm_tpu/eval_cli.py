@@ -134,13 +134,62 @@ def print_scores(scores: Dict[str, List[float]]):
     print(",".join(f"{m:.4f}±{s:.4f}" for m, s in zip(means, stds)))
 
 
+def compute_real_baseline(
+    dataset_name: str,
+    data_dir: str,
+    max_seq_length: int,
+    fid_weight_dir: Optional[str] = None,
+) -> Dict[str, List[float]]:
+    """val-vs-test oracle baseline (`eval.py --compute_real`, SURVEY §3.3)."""
+    val = load_dataset(dataset_name, data_dir, "val", max_seq_length)
+    test = load_dataset(dataset_name, data_dir, "test", max_seq_length)
+    scores = defaultdict(list)
+    for k, v in {
+        **M.compute_alignment(val.bbox, val.mask),
+        **M.compute_overlap(val.bbox, val.mask),
+    }.items():
+        scores[k].append(float(np.mean(v)))
+    val_list, test_list = loader_to_list(val), loader_to_list(test)
+    scores["maximum_iou"].append(
+        M.compute_maximum_iou(test_list, val_list)
+    )
+    for k, v in M.compute_wasserstein_distance(
+        test_list, val_list, n_classes=len(val.labels)
+    ).items():
+        scores[k].append(v)
+    if fid_weight_dir:
+        model, params = load_fidnet_v3(
+            dataset_name, len(val.labels), fid_weight_dir, max_seq_length
+        )
+        extract = make_feature_extractor(model, params)
+        fr = extract_in_batches(extract, test.bbox, test.label, test.mask)
+        fv = extract_in_batches(extract, val.bbox, val.label, val.mask)
+        for k, v in M.compute_generative_model_scores(fr, fv).items():
+            scores[k].append(float(v))
+    return dict(scores)
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     p = argparse.ArgumentParser()
     p.add_argument("result_dir")
     p.add_argument("--fid_weight_dir", default=None)
     p.add_argument("--cond", default=None, help="filter pickles by cond")
+    p.add_argument(
+        "--compute_real", action="store_true",
+        help="report the val-vs-test oracle baseline instead",
+    )
+    p.add_argument("--dataset", default="rico25")
+    p.add_argument("--data_dir", default="download/datasets")
+    p.add_argument("--max_seq_length", type=int, default=25)
     a = p.parse_args(argv)
+    if a.compute_real:
+        print_scores(
+            compute_real_baseline(
+                a.dataset, a.data_dir, a.max_seq_length, a.fid_weight_dir
+            )
+        )
+        return
     pattern = f"{a.cond}_*seed_*.pkl" if a.cond else "*.pkl"
     paths = sorted(glob.glob(os.path.join(a.result_dir, pattern)))
     assert paths, f"no result pickles in {a.result_dir}"

@@ -46,6 +46,27 @@ class SeqLenState(NamedTuple):
         return ids + 1
 
 
+class VAEModule:
+    """Reparameterized Gaussian bottleneck (`nn_lib.py:55-70`), as a flax
+    module factory for models that need a latent head."""
+
+    def __new__(cls, dim_latent: int):
+        import flax.linen as nn
+
+        class _VAE(nn.Module):
+            dim: int = dim_latent
+
+            @nn.compact
+            def __call__(self, x, rng):
+                mu = nn.Dense(self.dim, name="fc_mu")(x)
+                logvar = nn.Dense(self.dim, name="fc_var")(x)
+                std = jnp.exp(0.5 * logvar)
+                eps = jax.random.normal(rng, std.shape)
+                return {"z": eps * std + mu, "mu": mu, "logvar": logvar}
+
+        return _VAE()
+
+
 def cross_entropy(
     logits: jnp.ndarray,
     targets: jnp.ndarray,

@@ -20,6 +20,53 @@ import jax.numpy as jnp
 from layoutdm_tpu.data.relations import REL_SIZE_ALPHA, RelLoc, RelSize
 
 
+def beautify_alignment(
+    bbox: jnp.ndarray, mask: jnp.ndarray, threshold: float = 0.004
+) -> jnp.ndarray:
+    """Differentiable alignment cost per layout (`const.py:11-27`):
+    the LayoutGAN++ -log(1-d) closest-edge distance, thresholded."""
+    B, S = mask.shape
+    xl = bbox[..., 0] - bbox[..., 2] / 2
+    xr = bbox[..., 0] + bbox[..., 2] / 2
+    yt = bbox[..., 1] - bbox[..., 3] / 2
+    yb = bbox[..., 1] + bbox[..., 3] / 2
+    X = jnp.stack(
+        [xl, bbox[..., 0], xr, yt, bbox[..., 1], yb], axis=1
+    )  # (B, 6, S)
+    D = jnp.abs(X[:, :, :, None] - X[:, :, None, :])
+    eye = jnp.eye(S, dtype=bool)
+    D = jnp.where(eye[None, None], 1.0, D)
+    D = jnp.where(mask[:, None, :, None], D, 1.0)
+    closest = D.min(axis=(1, 3))  # (B, S)
+    closest = jnp.where(closest >= 1.0, 0.0, closest)
+    cost = -jnp.log1p(-jnp.clip(closest, 0.0, 0.9999)).sum(-1)
+    return jnp.where(cost <= threshold, 0.0, cost)
+
+
+def beautify_non_overlap(bbox: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable total pairwise overlap ratio per layout
+    (`const.py:30-45`)."""
+    bbox = jnp.where(mask[..., None], bbox, 0.0)
+    l = bbox[..., 0] - bbox[..., 2] / 2
+    r = bbox[..., 0] + bbox[..., 2] / 2
+    t = bbox[..., 1] - bbox[..., 3] / 2
+    b = bbox[..., 1] + bbox[..., 3] / 2
+    a1 = ((r - l) * (b - t))[:, :, None]
+    lmax = jnp.maximum(l[:, :, None], l[:, None, :])
+    rmin = jnp.minimum(r[:, :, None], r[:, None, :])
+    tmax = jnp.maximum(t[:, :, None], t[:, None, :])
+    bmin = jnp.minimum(b[:, :, None], b[:, None, :])
+    inter = jnp.maximum(rmin - lmax, 0.0) * jnp.maximum(bmin - tmax, 0.0)
+    S = mask.shape[1]
+    pair_ok = mask[:, :, None] & mask[:, None, :] & ~jnp.eye(S, dtype=bool)
+    ratio = jnp.where(pair_ok & (a1 > 0), inter / jnp.maximum(a1, 1e-8), 0.0)
+    return ratio.sum(axis=(1, 2))
+
+
+# guidance losses used by CLG-LO-style "beautify" mode (`const.py:48`)
+beautify = (beautify_alignment, beautify_non_overlap)
+
+
 def _leq(a, b):
     """penalty for requiring a <= b (`const.py:51-52`)."""
     return jnp.maximum(a - b, 0.0)

@@ -198,3 +198,75 @@ class LayoutSequenceTokenizer:
         if self.bbox_tokenizer.shared_vocab == "x-y-w-h":
             start += ("x", "y", "w", "h").index(name) * self.N_bbox_per_var
         return slice(start, start + self.N_bbox_per_var)
+
+
+@dataclass(frozen=True)
+class LayoutDictTokenizer(LayoutSequenceTokenizer):
+    """Layout -> DICT of sequences instead of one flat sequence
+    (`layout_tokenizer.py:316-396`): {label (B,S[+1]), bbox ids (B,S[+1],4),
+    mask}, with optional BOS/EOS rows for element-wise AR models."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        assert self.bbox_tokenizer.var_order == ("x", "y", "w", "h")
+        assert self.bbox_tokenizer.shared_vocab == "xywh"
+
+    def encode(self, inputs: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        label = jnp.asarray(inputs["label"], jnp.int32)
+        mask = jnp.asarray(inputs["mask"], bool)
+        bbox = self.bbox_tokenizer.encode(jnp.asarray(inputs["bbox"]))
+        if self.pad_until_max:
+            padn = self.max_elements - label.shape[1]
+            if padn > 0:
+                label = jnp.pad(label, ((0, 0), (0, padn)))
+                bbox = jnp.pad(bbox, ((0, 0), (0, padn), (0, 0)))
+                mask = jnp.pad(mask, ((0, 0), (0, padn)))
+        bbox = bbox + self.N_category
+        if "pad" in self.special_tokens:
+            pad_id = self.name_to_id("pad")
+            label = jnp.where(mask, label, pad_id)
+            bbox = jnp.where(mask[..., None], bbox, pad_id)
+        out = {"label": label, "bbox": bbox, "mask": mask}
+        if "bos" in self.special_tokens and "eos" in self.special_tokens:
+            B, S = label.shape
+            out = {
+                "label": jnp.concatenate(
+                    [jnp.full((B, 1), self.name_to_id("bos"), jnp.int32), label],
+                    axis=1,
+                ),
+                "bbox": jnp.concatenate(
+                    [jnp.zeros((B, 1, 4), bbox.dtype), bbox], axis=1
+                ),
+                "mask": jnp.concatenate(
+                    [jnp.ones((B, 1), bool), mask], axis=1
+                ),
+            }
+            pos = jnp.arange(S + 1)[None, :]
+            n = out["mask"].sum(axis=1, keepdims=True)
+            eos_here = pos == n
+            out["label"] = jnp.where(
+                eos_here, self.name_to_id("eos"), out["label"]
+            )
+            out["mask"] = out["mask"] | eos_here
+        return out
+
+    def decode(self, inputs: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        label = jnp.asarray(inputs["label"])
+        bbox_ids = jnp.asarray(inputs["bbox"]) - self.N_category
+        invalid = (
+            ~jnp.asarray(inputs["mask"], bool)
+            if "mask" in inputs
+            else jnp.zeros_like(label, dtype=bool)
+        )
+        invalid = invalid | self._filter_eos(label)
+        label_valid = (0 <= label) & (label < self.N_category)
+        bbox_valid = jnp.all(
+            (0 <= bbox_ids) & (bbox_ids < self.N_bbox), axis=-1
+        )
+        invalid = invalid | ~(label_valid & bbox_valid)
+        bbox = self.bbox_tokenizer.decode(bbox_ids)
+        return {
+            "bbox": jnp.where(invalid[..., None], 0.0, bbox),
+            "label": jnp.where(invalid, 0, label),
+            "mask": ~invalid,
+        }
