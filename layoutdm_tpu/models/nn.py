@@ -126,6 +126,17 @@ class SelfAttention(nn.Module):
         q = q.reshape(B, S, H, hd)
         k = k.reshape(B, S, H, hd)
         v = v.reshape(B, S, H, hd)
+
+        from layoutdm_tpu.ops.attention import can_use_fused, fused_attention
+
+        use_fused = (
+            can_use_fused(S, mask, key_padding_mask)
+            and (self.dropout == 0.0 or deterministic)
+        )
+        if use_fused:
+            out = fused_attention(q, k, v).reshape(B, S, D)
+            return nn.Dense(D, name="out", dtype=self.dtype)(out)
+
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
         if mask is not None:
             scores = scores + mask[None, None].astype(scores.dtype)
