@@ -136,6 +136,7 @@ class LayoutDM:
         num_timesteps_eval: Optional[int] = None,
         get_intermediates: bool = False,
         guidance_fn=None,
+        **_unused,  # uniform call surface across model families
     ):
         """Run the reverse chain, returning raw token ids (B, S)."""
         sampling = sampling or SamplingConfig()

@@ -68,6 +68,15 @@ def run_sampling(test_cfg: TestConfig, seed_dir: str) -> Dict:
     model = build_model(train_cfg, tokenizer)
     template = model.init(jax.random.PRNGKey(0))
     params = ckpt.load_params(template, seed_dir, "best")
+    # trained aux state (seq-length EMA for MaskGIT/BLT unconditional,
+    # Lt buffers for diffusion) saved alongside the weights
+    model_state = model.init_state()
+    aux_path = os.path.join(seed_dir, "aux_state.msgpack")
+    if os.path.exists(aux_path):
+        from flax import serialization
+
+        with open(aux_path, "rb") as f:
+            model_state = serialization.from_bytes(model_state, f.read())
 
     sampling = SamplingConfig(
         name=test_cfg.sampling,
@@ -110,7 +119,8 @@ def run_sampling(test_cfg: TestConfig, seed_dir: str) -> Dict:
         for n in split_num_samples(test_cfg.num_uncond_samples, B):
             rng, r = jax.random.split(rng)
             t0 = time.time()
-            layouts = model.sample(params, r, n, sampling=sampling)
+            layouts = model.sample(params, r, n, sampling=sampling,
+                                   state=model_state)
             jax.block_until_ready(layouts["bbox"])
             t_total += time.time() - t0
             n_total += n
@@ -122,9 +132,15 @@ def run_sampling(test_cfg: TestConfig, seed_dir: str) -> Dict:
                 ["AddCanvasElement",
                  "AddRelationConstraints(edge_ratio=0.1, seed=0)"]
             )
-        for batch in batch_iterator(
-            data, B, rng_np, shuffle=False, drop_last=False
-        ):
+        # num_run > 1: several outputs per condition (`hydra_configs.py:17`)
+        batches = [
+            b
+            for _ in range(max(test_cfg.num_run, 1))
+            for b in batch_iterator(
+                data, B, rng_np, shuffle=False, drop_last=False
+            )
+        ]
+        for batch in batches:
             rng, r_cond, r_samp = jax.random.split(rng, 3)
             guidance = None
             if test_cfg.cond == "relation":
@@ -137,7 +153,7 @@ def run_sampling(test_cfg: TestConfig, seed_dir: str) -> Dict:
             t0 = time.time()
             layouts = model.sample(
                 params, r_samp, n, cond=sc, sampling=sampling,
-                guidance_fn=guidance,
+                guidance_fn=guidance, state=model_state,
             )
             jax.block_until_ready(layouts["bbox"])
             t_total += time.time() - t0

@@ -156,6 +156,9 @@ def train(cfg: TrainConfig) -> Dict:
             if val_loss < best_val:
                 best_val = val_loss
                 ckpt.save_params(state.params, job_dir, "best")
+                ckpt.save_train_state(
+                    state.lt_state, job_dir, name="aux_state"
+                )
             ckpt.save_train_state(state, job_dir)
             with open(meta_path, "w") as f:
                 json.dump({"epoch": epoch, "best_val": best_val}, f)
@@ -234,6 +237,7 @@ def _compute_training_fid(cfg, model, state, val_data, rng, n_samples=256):
 
 def main(argv=None):
     import argparse
+    import copy
     import sys
 
     from layoutdm_tpu.configs import build_train_config
@@ -246,6 +250,24 @@ def main(argv=None):
     p.add_argument("dataset")
     p.add_argument("overrides", nargs="*")
     a = p.parse_args(argv)
+
+    # multi-seed sweep: `seed=0,1,2` trains one job per seed into
+    # seed_<i> subdirectories — the layout `sample_cli` auto-discovers
+    # (the reference's hydra --multirun, `bin/train.sh:36`, `test.py:71-88`)
+    seed_ov = [o for o in a.overrides if o.startswith("seed=")]
+    if seed_ov and "," in seed_ov[0]:
+        seeds = [int(s) for s in seed_ov[0].split("=")[1].split(",")]
+        rest = [o for o in a.overrides if not o.startswith("seed=")]
+        results = {}
+        base_cfg = build_train_config(a.experiment, a.dataset, rest)
+        for s in seeds:
+            cfg = copy.deepcopy(base_cfg)
+            cfg.seed = s
+            cfg.training.seed = s
+            cfg.job_dir = os.path.join(base_cfg.job_dir, f"seed_{s}")
+            results[s] = train(cfg)
+        return results
+
     cfg = build_train_config(a.experiment, a.dataset, a.overrides)
     return train(cfg)
 
