@@ -257,6 +257,84 @@ class ElementPositionalEmbedding(nn.Module):
         return emb[None]
 
 
+class LayoutElementEncoder(nn.Module):
+    """Element-wise (label, quantized-bbox) -> vector codec
+    (`models/common/layout.py` LayoutEncoder with emb_concat + concat_fc)."""
+
+    d_model: int
+    num_labels: int
+    num_bins: int
+
+    @nn.compact
+    def __call__(self, label: jnp.ndarray, bbox_ids: jnp.ndarray):
+        embs = [nn.Embed(self.num_labels, self.d_model, name="label_emb")(label)]
+        for i, key in enumerate("xywh"):
+            embs.append(
+                nn.Embed(self.num_bins, self.d_model, name=f"{key}_emb")(
+                    bbox_ids[..., i]
+                )
+            )
+        return nn.Dense(self.d_model, name="fc")(
+            jnp.concatenate(embs, axis=-1)
+        )
+
+
+class LayoutElementDecoder(nn.Module):
+    """Vector -> per-attribute logits (`models/common/layout.py`
+    LayoutDecoder counterpart)."""
+
+    num_labels: int
+    num_bins: int
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray):
+        return {
+            "label": nn.Dense(self.num_labels, name="label_head")(h),
+            "bbox": nn.Dense(4 * self.num_bins, name="bbox_head")(h).reshape(
+                h.shape[:-1] + (4, self.num_bins)
+            ),
+        }
+
+
+class ElementTransformer(nn.Module):
+    """Element-level transformer (`nn_lib.py:455-509`): one token per
+    element via the layout codec, causal or bidirectional encoder, decoded
+    to per-attribute logits."""
+
+    backbone: BackboneConfig
+    num_labels: int
+    num_bins: int
+    lookahead: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        label: jnp.ndarray,
+        bbox_ids: jnp.ndarray,
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        timestep: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        c = self.backbone
+        h = LayoutElementEncoder(
+            c.d_model, self.num_labels, self.num_bins, name="enc"
+        )(label, bbox_ids)
+        h = nn.Dropout(0.1)(h, deterministic=deterministic)
+        attn_mask = None
+        if not self.lookahead:
+            S = label.shape[1]
+            attn_mask = jnp.triu(jnp.full((S, S), -jnp.inf), k=1)
+        h = TransformerEncoder(c, dtype=self.dtype, name="backbone")(
+            h.astype(self.dtype), timestep, attn_mask, key_padding_mask,
+            deterministic,
+        )
+        h = nn.LayerNorm(name="norm")(h.astype(jnp.float32))
+        return LayoutElementDecoder(
+            self.num_labels, self.num_bins, name="dec"
+        )(h)
+
+
 class CategoricalAggregatedTransformer(nn.Module):
     """Element-aggregated denoiser (`nn_lib.py:403-452`): the 5 attribute
     embeddings of each element are fused to one token before the encoder and
