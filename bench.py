@@ -15,9 +15,17 @@ Prints one JSON line.
 """
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compile cache: repeated bench runs skip the ~minutes-long
+# first compile of the 100-step scan
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
