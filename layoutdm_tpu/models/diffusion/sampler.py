@@ -37,7 +37,9 @@ class SamplerCond:
     """Standardized conditioning inputs for the compiled sampler.
 
     A no-op cond (all-False masks, zero weak logits) reproduces unconditional
-    sampling, so one compiled program covers every task.
+    sampling, so one compiled program covers every task.  ``relation`` (an
+    optional `relation.guidance.RelationData` pytree) carries the constraint
+    graph as DATA, so one compiled sampler serves every relation batch.
     """
 
     seq: jnp.ndarray  # (B, S) int32 — user-specified token values
@@ -45,6 +47,7 @@ class SamplerCond:
     weak_logits: jnp.ndarray  # (B, S, V) f32 — additive prior (refinement)
     weak_mask: jnp.ndarray  # (B, S) bool — where the prior applies
     pad_suppress: jnp.ndarray  # (B, S) bool — forbid PAD here (#elems known)
+    relation: Optional[tuple] = None  # RelationData pytree or None
     init_from_seq: bool = flax.struct.field(pytree_node=False, default=False)
 
     @classmethod

@@ -80,6 +80,7 @@ class LayoutDM:
         self._predict_start = make_predict_start(
             self._apply_net, self.num_classes
         )
+        self._sampler_cache = {}
 
     # -- parameter management ----------------------------------------------
     def init(self, rng: jax.Array):
@@ -138,22 +139,42 @@ class LayoutDM:
         guidance_fn=None,
         **_unused,  # uniform call surface across model families
     ):
-        """Run the reverse chain, returning raw token ids (B, S)."""
+        """Run the reverse chain, returning raw token ids (B, S).
+
+        The chain is jitted once per static configuration (sampling
+        strategy, eval steps, guidance closure); subsequent calls with new
+        batches/conds reuse the compiled program — batch loops in the CLIs
+        pay tracing cost once, not per batch.
+        """
         sampling = sampling or SamplingConfig()
         if cond is None:
             cond = SamplerCond.empty(batch_size, self.seq_len, self.num_classes)
-        return sample_chain(
-            params,
-            self._predict_start,
-            self.q,
-            rng,
-            cond,
-            sampling,
-            pad_id=self.tokenizer.name_to_id("pad"),
-            num_timesteps_eval=num_timesteps_eval or sampling.num_timesteps,
-            get_intermediates=get_intermediates,
-            guidance_fn=guidance_fn,
+
+        key = (
+            sampling.name, float(sampling.temperature), int(sampling.top_k),
+            float(sampling.top_p), float(sampling.time_difference),
+            num_timesteps_eval or sampling.num_timesteps,
+            get_intermediates, id(guidance_fn),
         )
+        fn = self._sampler_cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda params, rng, cond: sample_chain(
+                    params,
+                    self._predict_start,
+                    self.q,
+                    rng,
+                    cond,
+                    sampling,
+                    pad_id=self.tokenizer.name_to_id("pad"),
+                    num_timesteps_eval=num_timesteps_eval
+                    or sampling.num_timesteps,
+                    get_intermediates=get_intermediates,
+                    guidance_fn=guidance_fn,
+                )
+            )
+            self._sampler_cache[key] = fn
+        return fn(params, rng, cond)
 
     def sample(self, params, rng, batch_size, cond=None, sampling=None, **kw):
         """Sample and decode to {bbox, label, mask} (`layoutdm.py:77-88`)."""

@@ -9,7 +9,7 @@ relation-conditioned generation costs one XLA dispatch like every other task.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -89,13 +89,17 @@ def expected_bbox(
 def make_relation_guidance(
     tokenizer: LayoutSequenceTokenizer,
     sampling: SamplingConfig,
-    rel: RelationData,
+    rel: Optional[RelationData] = None,
 ):
     """Returns ``guidance_fn(model_log_prob, t, cond)`` for the sampler.
 
     Eq.7: K = relation_num_update gradient steps with step size
     relation_lambda on the mean of the 14 constraint penalties; active only
     for t >= 10 (`logit_adjustment.py:107`).
+
+    The constraint graph is read from ``cond.relation`` (falling back to the
+    optional ``rel`` argument), so the returned closure is stable across
+    batches — one compiled sampler per run, not per batch.
     """
     K = sampling.relation_num_update
     lr = sampling.relation_lambda
@@ -103,22 +107,28 @@ def make_relation_guidance(
     C = tokenizer.N_var_per_element
     canvas = quantized_canvas_bbox(tokenizer)
 
-    def loss_fn(log_prob, elem_mask):
+    def loss_fn(log_prob, elem_mask, r: RelationData):
         bbox_all = expected_bbox(log_prob, tokenizer, elem_mask, canvas)
         losses = relation_losses(
-            bbox_all, rel.edge_index, rel.edge_attr, rel.edge_mask,
-            rel.src_is_canvas,
+            bbox_all, r.edge_index, r.edge_attr, r.edge_mask,
+            r.src_is_canvas,
         )
         return losses.mean()
 
     grad_fn = jax.grad(loss_fn)
 
     def guidance(model_log_prob, t, cond):
+        r = cond.relation if getattr(cond, "relation", None) is not None \
+            else rel
+        if r is None:
+            return model_log_prob
+        if not isinstance(r, RelationData):
+            r = RelationData(*r)
         elem_mask = cond.seq[:, ::C] != pad_id
 
         def do_update(lp):
             def body(_, lp):
-                return lp - lr * grad_fn(lp, elem_mask)
+                return lp - lr * grad_fn(lp, elem_mask, r)
 
             return jax.lax.fori_loop(0, K, body, lp)
 

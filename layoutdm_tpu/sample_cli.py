@@ -127,11 +127,15 @@ def run_sampling(test_cfg: TestConfig, seed_dir: str) -> Dict:
             results.extend(_filter_invalid(layouts))
     else:
         transform = None
+        guidance = None
         if test_cfg.cond == "relation":
             transform = compose_transform(
                 ["AddCanvasElement",
                  "AddRelationConstraints(edge_ratio=0.1, seed=0)"]
             )
+            # one stable guidance closure; per-batch graphs ride in the cond
+            # pytree so the compiled sampler is reused across batches
+            guidance = make_relation_guidance(tokenizer, sampling)
         # num_run > 1: several outputs per condition (`hydra_configs.py:17`)
         batches = [
             b
@@ -142,13 +146,12 @@ def run_sampling(test_cfg: TestConfig, seed_dir: str) -> Dict:
         ]
         for batch in batches:
             rng, r_cond, r_samp = jax.random.split(rng, 3)
-            guidance = None
+            cond = get_cond(r_cond, batch, tokenizer, test_cfg.cond)
+            sc = to_sampler_cond(cond, tokenizer, sampling)
             if test_cfg.cond == "relation":
                 batch_w_canvas = transform(rng_np, dict(batch))
                 rel = RelationData.from_batch(batch_w_canvas)
-                guidance = make_relation_guidance(tokenizer, sampling, rel)
-            cond = get_cond(r_cond, batch, tokenizer, test_cfg.cond)
-            sc = to_sampler_cond(cond, tokenizer, sampling)
+                sc = sc.replace(relation=tuple(rel))
             n = batch["label"].shape[0]
             t0 = time.time()
             layouts = model.sample(
