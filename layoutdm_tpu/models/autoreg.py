@@ -53,7 +53,10 @@ class ElemWiseAutoreg:
             lookahead=False,  # causal mask
             dtype=dtype,
         )
+        # same params, KV-cached single-token decode variant
+        self.net_decode = dataclasses.replace(self.net, decode=True)
         self._legal = jnp.asarray(tokenizer.token_mask())  # (gen_len, V)
+        self._sampler_cache = {}
 
     def init(self, rng):
         return self.net.init(
@@ -95,10 +98,17 @@ class ElemWiseAutoreg:
         batch_size: int,
         cond: Optional[SamplerCond] = None,
         sampling: Optional[SamplingConfig] = None,
+        use_cache: bool = True,
         **kw,
     ) -> jnp.ndarray:
         """Token-by-token causal decode (`elem_wise_autoreg.py:74-138`);
-        returns generated ids WITHOUT the BOS column."""
+        returns generated ids WITHOUT the BOS column.
+
+        ``use_cache=True`` (default) runs the KV-cached O(S) formulation:
+        each scan step feeds ONE token through the stack against per-layer
+        key/value caches.  ``use_cache=False`` recomputes the full prefix
+        per step like the reference — kept for equivalence testing.
+        """
         sampling = sampling or SamplingConfig()
         B, L = batch_size, self.gen_len
 
@@ -121,11 +131,7 @@ class ElemWiseAutoreg:
             weak = jnp.zeros((B, L, self.num_classes), jnp.float32)
             weak_mask = jnp.zeros((B, L), bool)
 
-        def step(carry, i):
-            buf, rng = carry
-            rng, r_s = jax.random.split(rng)
-            logits = self._apply(params, buf)  # (B, L, V)
-            logit_i = logits[:, i]  # (B, V), dynamic index
+        def constrain_and_sample(logit_i, i, r_s):
             logit_i = logit_i + jnp.where(
                 weak_mask[:, i][:, None], weak[:, i], 0.0
             )
@@ -137,7 +143,42 @@ class ElemWiseAutoreg:
             )
             # force user-specified tokens (`elem_wise_autoreg.py:128-133`)
             given = cond_seq[:, i]
-            pred = jnp.where(given == self.mask_id, pred, given)
+            return jnp.where(given == self.mask_id, pred, given)
+
+        if use_cache:
+            # init traces one step (index bumps to 1) — zero the whole
+            # cache tree to start decoding at position 0
+            cache = jax.tree.map(
+                jnp.zeros_like,
+                self.net_decode.init(
+                    {"params": jax.random.PRNGKey(0)},
+                    jnp.zeros((B, 1), jnp.int32),
+                )["cache"],
+            )
+
+            def step(carry, i):
+                tok, cache, rng = carry
+                rng, r_s = jax.random.split(rng)
+                logits, vars_ = self.net_decode.apply(
+                    {"params": params, "cache": cache},
+                    tok,
+                    mutable=["cache"],
+                )
+                cache = vars_["cache"]
+                pred = constrain_and_sample(logits[:, 0], i, r_s)
+                return (pred[:, None], cache, rng), pred
+
+            bos = jnp.full((B, 1), self.bos_id, jnp.int32)
+            (_, _, _), preds = jax.lax.scan(
+                step, (bos, cache, rng), jnp.arange(L)
+            )
+            return preds.T  # (B, L)
+
+        def step(carry, i):
+            buf, rng = carry
+            rng, r_s = jax.random.split(rng)
+            logits = self._apply(params, buf)  # (B, L, V)
+            pred = constrain_and_sample(logits[:, i], i, r_s)
             # write at position i+1 (the final step's write is a no-op since
             # no position equals L)
             buf = jnp.where(

@@ -102,12 +102,21 @@ class AdaInsNorm(nn.Module):
 
 
 class SelfAttention(nn.Module):
-    """Multi-head self-attention with packed qkv (torch MHA layout)."""
+    """Multi-head self-attention with packed qkv (torch MHA layout).
+
+    ``decode=True`` enables single-token autoregressive decoding with a
+    KV-cache carried in the "cache" variable collection (the lax.scan-able
+    formulation SURVEY.md §7 hard-part #6 calls for): each call consumes
+    one token, updates the (B, L, H, hd) caches at ``cache_index`` and
+    attends against the filled prefix.
+    """
 
     d_model: int
     nhead: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    decode: bool = False
+    decode_length: int = 0  # cache length L when decode=True
 
     @nn.compact
     def __call__(
@@ -117,6 +126,44 @@ class SelfAttention(nn.Module):
         key_padding_mask: Optional[jnp.ndarray] = None,  # (B, S) True=pad
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        if self.decode:
+            return self._decode_step(x)
+        return self._full(x, mask, key_padding_mask, deterministic)
+
+    def _decode_step(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, S, D = x.shape
+        assert S == 1, "decode mode consumes one token per call"
+        H, hd, L = self.nhead, D // self.nhead, self.decode_length
+        qkv = nn.Dense(3 * D, name="qkv", dtype=self.dtype)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, 1, H, hd)
+        ck = self.variable(
+            "cache", "cached_key", jnp.zeros, (B, L, H, hd), self.dtype
+        )
+        cv = self.variable(
+            "cache", "cached_value", jnp.zeros, (B, L, H, hd), self.dtype
+        )
+        ci = self.variable(
+            "cache", "cache_index", lambda: jnp.zeros((), jnp.int32)
+        )
+        idx = ci.value
+        ck.value = jax.lax.dynamic_update_slice(
+            ck.value, k.reshape(B, 1, H, hd).astype(self.dtype), (0, idx, 0, 0)
+        )
+        cv.value = jax.lax.dynamic_update_slice(
+            cv.value, v.reshape(B, 1, H, hd).astype(self.dtype), (0, idx, 0, 0)
+        )
+        ci.value = idx + 1
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, ck.value) / math.sqrt(hd)
+        valid = jnp.arange(L) <= idx
+        scores = jnp.where(valid[None, None, None, :], scores, -1e9)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
+            self.dtype
+        )
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, cv.value).reshape(B, 1, D)
+        return nn.Dense(D, name="out", dtype=self.dtype)(out)
+
+    def _full(self, x, mask, key_padding_mask, deterministic):
         B, S, D = x.shape
         H = self.nhead
         assert D % H == 0, f"d_model {D} not divisible by nhead {H}"
@@ -158,6 +205,8 @@ class Block(nn.Module):
 
     cfg: BackboneConfig
     dtype: jnp.dtype = jnp.float32
+    decode: bool = False
+    decode_length: int = 0
 
     @nn.compact
     def __call__(
@@ -178,7 +227,9 @@ class Block(nn.Module):
         else:
             x = nn.LayerNorm(name="norm1")(x)
         attn = SelfAttention(
-            c.d_model, c.nhead, c.dropout, dtype=self.dtype, name="attn"
+            c.d_model, c.nhead, c.dropout, dtype=self.dtype,
+            decode=self.decode, decode_length=self.decode_length,
+            name="attn",
         )(x, attn_mask, key_padding_mask, deterministic)
         x = x + nn.Dropout(c.dropout)(attn, deterministic=deterministic)
 
@@ -196,6 +247,8 @@ class TransformerEncoder(nn.Module):
 
     cfg: BackboneConfig
     dtype: jnp.dtype = jnp.float32
+    decode: bool = False
+    decode_length: int = 0
 
     @nn.compact
     def __call__(
@@ -207,9 +260,10 @@ class TransformerEncoder(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         for i in range(self.cfg.num_layers):
-            x = Block(self.cfg, dtype=self.dtype, name=f"layer{i}")(
-                x, timestep, attn_mask, key_padding_mask, deterministic
-            )
+            x = Block(
+                self.cfg, dtype=self.dtype, decode=self.decode,
+                decode_length=self.decode_length, name=f"layer{i}",
+            )(x, timestep, attn_mask, key_padding_mask, deterministic)
         return x
 
 
@@ -220,12 +274,14 @@ class PositionalEmbedding(nn.Module):
     max_token_length: int
 
     @nn.compact
-    def __call__(self, S: int) -> jnp.ndarray:
+    def __call__(self, S: int, position=None) -> jnp.ndarray:
         emb = self.param(
             "pos_emb",
             nn.initializers.uniform(scale=1.0),
             (self.max_token_length, self.d_model),
         )
+        if position is not None:
+            return jax.lax.dynamic_slice_in_dim(emb, position, 1)[None]
         return emb[:S][None]
 
 
@@ -238,7 +294,7 @@ class ElementPositionalEmbedding(nn.Module):
     n_attr_per_elem: int = 5
 
     @nn.compact
-    def __call__(self, S: int) -> jnp.ndarray:
+    def __call__(self, S: int, position=None) -> jnp.ndarray:
         remainder = self.max_token_length % self.n_attr_per_elem
         assert remainder in (0, 1)
         n_elem = self.max_token_length // self.n_attr_per_elem
@@ -251,10 +307,10 @@ class ElementPositionalEmbedding(nn.Module):
         )
         if remainder == 1:
             bos = self.param("bos_emb", init, (1, self.d_model))
-            emb = jnp.concatenate([bos, emb[: S - 1]], axis=0)
-        else:
-            emb = emb[:S]
-        return emb[None]
+            emb = jnp.concatenate([bos, emb], axis=0)[: self.max_token_length]
+        if position is not None:
+            return jax.lax.dynamic_slice_in_dim(emb, position, 1)[None]
+        return emb[:S][None]
 
 
 class LayoutElementEncoder(nn.Module):
@@ -499,6 +555,7 @@ class CategoricalTransformer(nn.Module):
     n_attr_per_elem: int = 5
     lookahead: bool = True  # False => causal mask (AR models)
     dtype: jnp.dtype = jnp.float32
+    decode: bool = False  # KV-cached single-token AR decoding
 
     @nn.compact
     def __call__(
@@ -511,27 +568,38 @@ class CategoricalTransformer(nn.Module):
         c = self.backbone
         S = seq.shape[1]
         h = nn.Embed(self.num_classes, c.d_model, name="cat_emb")(seq)
+
+        position = None
+        if self.decode:
+            # track the decode position for the positional embedding
+            pi = self.variable(
+                "cache", "pos_index", lambda: jnp.zeros((), jnp.int32)
+            )
+            position = pi.value
+            pi.value = position + 1
+
         if self.pos_emb == "default":
             h = h + PositionalEmbedding(
                 c.d_model, self.max_token_length, name="pos"
-            )(S)
+            )(S, position)
         else:
             h = h + ElementPositionalEmbedding(
                 c.d_model,
                 self.max_token_length,
                 self.n_attr_per_elem,
                 name="pos",
-            )(S)
+            )(S, position)
         h = nn.Dropout(0.1)(h, deterministic=deterministic)
         h = h.astype(self.dtype)
 
         attn_mask = None
-        if not self.lookahead:
+        if not self.lookahead and not self.decode:
             attn_mask = jnp.triu(jnp.full((S, S), -jnp.inf), k=1)
 
-        h = TransformerEncoder(c, dtype=self.dtype, name="backbone")(
-            h, timestep, attn_mask, key_padding_mask, deterministic
-        )
+        h = TransformerEncoder(
+            c, dtype=self.dtype, decode=self.decode,
+            decode_length=self.max_token_length, name="backbone",
+        )(h, timestep, attn_mask, key_padding_mask, deterministic)
         h = h.astype(jnp.float32)
         h = nn.LayerNorm(name="head_norm")(h)
         logits = nn.Dense(

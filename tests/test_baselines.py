@@ -181,3 +181,26 @@ def test_bart_alphabetical(rng):
         real = cats < t.N_category
         run = cats[real]
         assert (np.diff(run) >= 0).all()
+
+
+def test_autoreg_kv_cache_matches_full_recompute(rng):
+    t = tok(special=("pad", "bos", "eos", "mask"))
+    model = ElemWiseAutoreg(BB, t)
+    params = model.init(jax.random.PRNGKey(0))
+    cfg = SamplingConfig(name="deterministic")
+    fast = model.sample_ids(
+        params, jax.random.PRNGKey(1), 3, sampling=cfg, use_cache=True
+    )
+    slow = model.sample_ids(
+        params, jax.random.PRNGKey(1), 3, sampling=cfg, use_cache=False
+    )
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+    # and with a condition
+    layout = random_layout(rng, B=3, S=4, n_cat=4)
+    cond = get_cond(jax.random.PRNGKey(2), layout, t, "c")
+    sc = to_sampler_cond(cond, t, cfg)
+    fast = model.sample_ids(params, jax.random.PRNGKey(3), 3, cond=sc,
+                            sampling=cfg, use_cache=True)
+    slow = model.sample_ids(params, jax.random.PRNGKey(3), 3, cond=sc,
+                            sampling=cfg, use_cache=False)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))

@@ -160,3 +160,27 @@ def test_num_timesteps_eval_skip_steps(model_and_params):
         sampling=SamplingConfig(num_timesteps=T // 2),
     )
     assert ids.shape == (2, model.seq_len)
+
+
+def test_seq_type_set_shuffles_pad(rng):
+    from layoutdm_tpu.configs import ModelConfig
+
+    model = tiny_model()
+    model_set = LayoutDM(
+        BackboneConfig(
+            d_model=128, nhead=4, dim_feedforward=128, num_layers=1,
+            dropout=0.0, timestep_type="adalayernorm", diffusion_step=T,
+        ),
+        model.tokenizer,
+        ModelConfig(q_type="constrained", num_timesteps=T, seq_type="set"),
+    )
+    layout = random_layout(rng, B=4, S=4, n_cat=4)
+    layout["mask"][:, :2] = True
+    layout["mask"][:, 2:] = False
+    tokens = model_set.preprocess(layout, jax.random.PRNGKey(0))
+    seq = np.asarray(tokens["seq"]).reshape(4, 4, 5)
+    pad_id = model.tokenizer.name_to_id("pad")
+    # PAD elements still exist but are no longer guaranteed to be suffix
+    assert (seq == pad_id).sum() == 4 * 2 * 5
+    poset = np.asarray(model.preprocess(layout)["seq"]).reshape(4, 4, 5)
+    assert (poset[:, 2:] == pad_id).all()
