@@ -149,12 +149,17 @@ class BART:
 
         force = (cond is not None) and not is_special
 
+        # encoder runs ONCE; only the decoder re-runs inside the scan
+        memory = self.net.apply({"params": params}, enc_in, None)
+
         def step(carry, i):
             buf, rng = carry  # buf: (B, L+1) decoder inputs, BOS at 0
             rng, r_s = jax.random.split(rng)
             # feed the full fixed-length buffer (causal mask hides the
             # future); read the prediction for position i
-            logits = self._apply(params, enc_in, buf)  # (B, L+1, V)
+            logits = self.net.apply(
+                {"params": params}, None, buf, memory=memory
+            )  # (B, L+1, V)
             logit_i = logits[:, i]  # (B, V), dynamic index
             legal_i = self._legal[i]
             illegal = ~legal_i[None, :]

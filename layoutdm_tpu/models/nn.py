@@ -503,10 +503,14 @@ class CategoricalEncDecTransformer(nn.Module):
     @nn.compact
     def __call__(
         self,
-        input_seq: jnp.ndarray,  # (B, S_enc) encoder tokens (BOS first)
-        target_seq: jnp.ndarray,  # (B, S_dec) decoder input tokens
+        input_seq: Optional[jnp.ndarray],  # (B, S_enc) encoder tokens
+        target_seq: Optional[jnp.ndarray] = None,  # (B, S_dec) decoder input
         deterministic: bool = True,
+        memory: Optional[jnp.ndarray] = None,  # precomputed encoder output
     ) -> jnp.ndarray:
+        """Full enc-dec by default; ``target_seq=None`` returns the encoder
+        memory only and ``memory=...`` skips the encoder — so AR decode
+        loops hoist the encoder out of the scan."""
         c = self.backbone
 
         def posmod(name):
@@ -519,14 +523,17 @@ class CategoricalEncDecTransformer(nn.Module):
                 name=name,
             )
 
-        h_enc = nn.Embed(self.num_classes, c.d_model, name="input_emb")(
-            input_seq
-        )
-        h_enc = h_enc + posmod("input_pos")(input_seq.shape[1])
-        h_enc = nn.Dropout(0.1)(h_enc, deterministic=deterministic)
-        memory = TransformerEncoder(c, dtype=self.dtype, name="encoder")(
-            h_enc.astype(self.dtype), deterministic=deterministic
-        )
+        if memory is None:
+            h_enc = nn.Embed(self.num_classes, c.d_model, name="input_emb")(
+                input_seq
+            )
+            h_enc = h_enc + posmod("input_pos")(input_seq.shape[1])
+            h_enc = nn.Dropout(0.1)(h_enc, deterministic=deterministic)
+            memory = TransformerEncoder(c, dtype=self.dtype, name="encoder")(
+                h_enc.astype(self.dtype), deterministic=deterministic
+            )
+            if target_seq is None:
+                return memory
 
         tgt = nn.Embed(self.num_classes, c.d_model, name="target_emb")(
             target_seq
