@@ -156,3 +156,21 @@ def test_seqlen_state(rng):
     draws = np.asarray(s.sample(jax.random.PRNGKey(0), 200))
     assert (draws >= 1).all() and (draws <= 8).all()
     assert (draws == 3).mean() > 0.8
+
+
+def test_timestep_ladder():
+    from layoutdm_tpu.models.diffusion.sampler import timestep_ladder
+
+    # T_eval == T: plain countdown, posterior at the same t
+    mt, pt = timestep_ladder(10)
+    np.testing.assert_array_equal(mt, np.arange(9, -1, -1))
+    np.testing.assert_array_equal(pt, mt)
+    # T_eval < T: skip-steps shift the posterior time (`base.py:227-240`)
+    mt, pt = timestep_ladder(100, 50)
+    assert mt[0] == 98 and mt[-1] == 0
+    assert pt[0] == 97  # skip=1 applied while noise_t > skip
+    assert pt[-1] == 0
+    # time_difference lowers the noise time (`base.py:218-225`)
+    mt, pt = timestep_ladder(100, None, time_difference=0.1)
+    assert mt[0] == 99 and pt[0] == 89
+    assert pt[-1] == 0
