@@ -107,6 +107,23 @@ class BLT(MaskGIT):
             seq = jnp.where(valid, self.mask_id, self.pad_id)
             mask_user = ~valid
 
+        key = (
+            "blt", B, T, sampling.name, float(sampling.temperature),
+            int(sampling.top_k), float(sampling.top_p),
+        )
+        fn = self._sampler_cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda params, rng, seq, mask_user: self._grouped_scan(
+                    params, rng, seq, mask_user, T, sampling
+                )
+            )
+            self._sampler_cache[key] = fn
+        return fn(params, rng, seq, mask_user)
+
+    def _grouped_scan(self, params, rng, seq, mask_user, T, sampling):
+        B, S = seq.shape
+        C = self.tokenizer.N_var_per_element
         seq_user = seq  # user-specified slots, restored every step
         illegal = ~jnp.broadcast_to(self._legal[None], (B, S, self.num_classes))
         attr_of_slot = jnp.arange(S) % C

@@ -72,6 +72,7 @@ class MaskGIT:
             dtype=dtype,
         )
         self._legal = jnp.asarray(tokenizer.token_mask())  # (S, V)
+        self._sampler_cache = {}
 
     # -- params / state -----------------------------------------------------
     def init(self, rng):
@@ -146,6 +147,26 @@ class MaskGIT:
             seq0 = jnp.where(valid, self.mask_id, self.pad_id)
             mask_user = ~valid
             known_count = True
+
+        key = (
+            "maskgit", B, T, known_count, sampling.name,
+            float(sampling.temperature), int(sampling.top_k),
+            float(sampling.top_p),
+        )
+        fn = self._sampler_cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda params, rng, seq0, mask_user: self._decode_scan(
+                    params, rng, seq0, mask_user, T, known_count, sampling
+                )
+            )
+            self._sampler_cache[key] = fn
+        return fn(params, rng, seq0, mask_user)
+
+    def _decode_scan(
+        self, params, rng, seq0, mask_user, T, known_count, sampling
+    ):
+        B, S = seq0.shape
 
         # PAD never predicted when the element count is known
         # (`maskgit.py:207-216`)
