@@ -192,6 +192,7 @@ class TestConfig:
     relation_tau: float = 1.0
     relation_num_update: int = 3
     use_ddim: bool = False
+    trace_dir: Optional[str] = None  # jax.profiler trace output (tracing aux)
 
 
 # ---------------------------------------------------------------------------

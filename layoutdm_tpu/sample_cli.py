@@ -115,6 +115,11 @@ def run_sampling(test_cfg: TestConfig, seed_dir: str) -> Dict:
     inputs = []
     t_total, n_total = 0.0, 0
 
+    from layoutdm_tpu.utils.profiling import maybe_trace
+
+    trace_ctx = maybe_trace(test_cfg.trace_dir)
+    trace_ctx.__enter__()
+
     if test_cfg.cond == "unconditional":
         for n in split_num_samples(test_cfg.num_uncond_samples, B):
             rng, r = jax.random.split(rng)
@@ -180,6 +185,7 @@ def run_sampling(test_cfg: TestConfig, seed_dir: str) -> Dict:
                 )
                 violations.extend(v[~np.isnan(v)].tolist())
 
+    trace_ctx.__exit__(None, None, None)
     ms_per_sample = 1e3 * t_total / max(n_total, 1)
     logger.info("%s: %.1f ms per sample", test_cfg.cond, ms_per_sample)
     out = {
