@@ -101,3 +101,27 @@ def test_graft_entry_compiles():
     t = jnp.zeros((2,), jnp.int32)
     out = jax.jit(model._apply_net)(params, seq, t)
     assert out.shape == (2, model.seq_len, model.num_classes)
+
+
+def test_sampling_shards_over_data_mesh():
+    """The compiled sampler is GSPMD-shardable: batch-sharded conds keep
+    the whole reverse chain distributed over the data axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from layoutdm_tpu.models.diffusion.sampler import SamplerCond
+
+    model = tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    B = 16
+    cond = SamplerCond.empty(B, model.seq_len, model.num_classes)
+    sharded_cond = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))), cond
+    )
+    with mesh:
+        ids = model.sample_ids(
+            params, jax.random.PRNGKey(1), B, cond=sharded_cond
+        )
+    assert ids.shape == (B, model.seq_len)
+    # output stays distributed across the 8 devices
+    assert len(ids.sharding.device_set) == 8
