@@ -66,6 +66,9 @@ class BART:
             n_attr_per_elem=tokenizer.N_var_per_element,
             dtype=dtype,
         )
+        # same params: cross-kv prefill pass + KV-cached one-token decoder
+        self.net_prefill = dataclasses.replace(self.net, prefill=True)
+        self.net_decode = dataclasses.replace(self.net, decode=True)
         self._legal = jnp.asarray(self.tokenizer.token_mask())
 
     def init(self, rng):
@@ -122,10 +125,14 @@ class BART:
         cond: Optional[SamplerCond] = None,
         sampling: Optional[SamplingConfig] = None,
         cond_type: Optional[str] = None,
+        use_cache: bool = True,
         **kw,
     ) -> jnp.ndarray:
         """Constrained AR decode (`bart.py:103-216`); returns ids without
-        BOS."""
+        BOS.  ``use_cache=True`` runs the KV-cached decoder (cross-attention
+        k/v prefilled from the encoder memory, self-attention cached per
+        step); ``use_cache=False`` recomputes the full prefix like the
+        reference."""
         sampling = sampling or SamplingConfig()
         B, L = batch_size, self.gen_len
         C = self.tokenizer.N_var_per_element
@@ -152,20 +159,11 @@ class BART:
         # encoder runs ONCE; only the decoder re-runs inside the scan
         memory = self.net.apply({"params": params}, enc_in, None)
 
-        def step(carry, i):
-            buf, rng = carry  # buf: (B, L+1) decoder inputs, BOS at 0
-            rng, r_s = jax.random.split(rng)
-            # feed the full fixed-length buffer (causal mask hides the
-            # future); read the prediction for position i
-            logits = self.net.apply(
-                {"params": params}, None, buf, memory=memory
-            )  # (B, L+1, V)
-            logit_i = logits[:, i]  # (B, V), dynamic index
+        def constrain(logit_i, prev_cat, i, r_s):
             legal_i = self._legal[i]
             illegal = ~legal_i[None, :]
             if alpha:
                 # category monotonicity (`bart.py:162-171`)
-                prev_cat = buf[:, jnp.maximum(i - (C - 1), 0)]
                 vocab = jnp.arange(self.num_classes)
                 apply_rule = (i % C == 0) & (i // C > 0)
                 illegal = illegal | (
@@ -180,14 +178,64 @@ class BART:
                 given = seq_user[:, i + 1]
                 known = mask_user[:, i + 1]
                 pred = jnp.where(known, given, pred)
-            buf = jnp.where(
-                (jnp.arange(L + 1) == i + 1)[None, :], pred[:, None], buf
-            )
-            return (buf, rng), pred
+            return pred
 
-        buf0 = jnp.full((B, L + 1), self.bos_id, jnp.int32)
-        (buf, _), preds = jax.lax.scan(step, (buf0, rng), jnp.arange(L))
-        seq = preds.T  # (B, L)
+        if use_cache:
+            cache = jax.tree.map(
+                jnp.zeros_like,
+                self.net_decode.init(
+                    {"params": jax.random.PRNGKey(0)},
+                    None,
+                    jnp.zeros((B, 1), jnp.int32),
+                    memory=memory,
+                )["cache"],
+            )
+            # prefill the per-layer cross-attention k/v from memory
+            _, vars_ = self.net_prefill.apply(
+                {"params": params, "cache": cache}, None, None,
+                memory=memory, mutable=["cache"],
+            )
+            cache = vars_["cache"]
+
+            def step(carry, i):
+                tok, cat_buf, cache, rng = carry
+                rng, r_s = jax.random.split(rng)
+                logits, vars_ = self.net_decode.apply(
+                    {"params": params, "cache": cache}, None, tok,
+                    memory=memory, mutable=["cache"],
+                )
+                cache = vars_["cache"]
+                pred = constrain(logits[:, 0], cat_buf, i, r_s)
+                # track the most recent category token for the alpha rule
+                new_cat = jnp.where((i % C) == 0, pred, cat_buf)
+                return (pred[:, None], new_cat, cache, rng), pred
+
+            bos = jnp.full((B, 1), self.bos_id, jnp.int32)
+            cat0 = jnp.zeros((B,), jnp.int32)
+            (_, _, _, _), preds = jax.lax.scan(
+                step, (bos, cat0, cache, rng), jnp.arange(L)
+            )
+            seq = preds.T
+        else:
+
+            def step(carry, i):
+                buf, rng = carry  # buf: (B, L+1) decoder inputs, BOS at 0
+                rng, r_s = jax.random.split(rng)
+                # feed the full fixed-length buffer (causal mask hides the
+                # future); read the prediction for position i
+                logits = self.net.apply(
+                    {"params": params}, None, buf, memory=memory
+                )  # (B, L+1, V)
+                prev_cat = buf[:, jnp.maximum(i - (C - 1), 0)]
+                pred = constrain(logits[:, i], prev_cat, i, r_s)
+                buf = jnp.where(
+                    (jnp.arange(L + 1) == i + 1)[None, :], pred[:, None], buf
+                )
+                return (buf, rng), pred
+
+            buf0 = jnp.full((B, L + 1), self.bos_id, jnp.int32)
+            (buf, _), preds = jax.lax.scan(step, (buf0, rng), jnp.arange(L))
+            seq = preds.T  # (B, L)
 
         if is_special and cond is not None:
             seq = self._reinsert_partial(np.asarray(seq), cond)

@@ -434,24 +434,58 @@ class CategoricalAggregatedTransformer(nn.Module):
 
 
 class CrossAttention(nn.Module):
-    """Decoder cross-attention (packed kv for torch-layout porting)."""
+    """Decoder cross-attention (packed kv for torch-layout porting).
+
+    ``decode=True`` caches the memory projections: the encoder output is
+    constant during AR decoding, so k/v are computed on the first step and
+    reused from the "cache" collection afterwards."""
 
     d_model: int
     nhead: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    decode: bool = False  # read k/v from the prefilled cache
+    prefill: bool = False  # project memory k/v into the cache and return
 
     @nn.compact
     def __call__(self, x, memory, deterministic: bool = True):
-        B, S, D = x.shape
-        M = memory.shape[1]
         H = self.nhead
-        hd = D // H
+        hd = self.d_model // H
+
+        if self.prefill:
+            B, M, _ = memory.shape
+            kv = nn.Dense(2 * self.d_model, name="kv", dtype=self.dtype)(
+                memory
+            )
+            k, v = jnp.split(kv, 2, axis=-1)
+            ck = self.variable(
+                "cache", "cross_key", jnp.zeros, (B, M, H, hd), self.dtype
+            )
+            cv = self.variable(
+                "cache", "cross_value", jnp.zeros, (B, M, H, hd), self.dtype
+            )
+            ck.value = k.reshape(B, M, H, hd).astype(self.dtype)
+            cv.value = v.reshape(B, M, H, hd).astype(self.dtype)
+            return x
+
+        B, S, D = x.shape
         q = nn.Dense(D, name="q", dtype=self.dtype)(x).reshape(B, S, H, hd)
-        kv = nn.Dense(2 * D, name="kv", dtype=self.dtype)(memory)
-        k, v = jnp.split(kv, 2, axis=-1)
-        k = k.reshape(B, M, H, hd)
-        v = v.reshape(B, M, H, hd)
+        if self.decode:
+            # memory is passed for its shape; values come from the cache
+            # written by the prefill pass
+            M = memory.shape[1]
+            k = self.variable(
+                "cache", "cross_key", jnp.zeros, (B, M, H, hd), self.dtype
+            ).value
+            v = self.variable(
+                "cache", "cross_value", jnp.zeros, (B, M, H, hd), self.dtype
+            ).value
+        else:
+            kv = nn.Dense(2 * D, name="kv", dtype=self.dtype)(memory)
+            k, v = jnp.split(kv, 2, axis=-1)
+            M = memory.shape[1]
+            k = k.reshape(B, M, H, hd)
+            v = v.reshape(B, M, H, hd)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
         attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
             self.dtype
@@ -467,17 +501,30 @@ class DecoderBlock(nn.Module):
 
     cfg: BackboneConfig
     dtype: jnp.dtype = jnp.float32
+    decode: bool = False
+    decode_length: int = 0
+    prefill: bool = False
 
     @nn.compact
     def __call__(self, x, memory, attn_mask=None, deterministic=True):
         c = self.cfg
+        if self.prefill:
+            # project memory into the per-layer cross k/v cache only
+            return CrossAttention(
+                c.d_model, c.nhead, c.dropout, dtype=self.dtype,
+                prefill=True, name="cross_attn",
+            )(x, memory, deterministic)
+
         h = nn.LayerNorm(name="norm1")(x)
         h = SelfAttention(c.d_model, c.nhead, c.dropout, dtype=self.dtype,
+                          decode=self.decode,
+                          decode_length=self.decode_length,
                           name="self_attn")(h, attn_mask,
                                             deterministic=deterministic)
         x = x + nn.Dropout(c.dropout)(h, deterministic=deterministic)
         h = nn.LayerNorm(name="norm2")(x)
         h = CrossAttention(c.d_model, c.nhead, c.dropout, dtype=self.dtype,
+                           decode=self.decode,
                            name="cross_attn")(h, memory, deterministic)
         x = x + nn.Dropout(c.dropout)(h, deterministic=deterministic)
         h = nn.LayerNorm(name="norm3")(x)
@@ -499,6 +546,8 @@ class CategoricalEncDecTransformer(nn.Module):
     pos_emb: str = "default"
     n_attr_per_elem: int = 5
     dtype: jnp.dtype = jnp.float32
+    decode: bool = False  # KV-cached single-token decoding
+    prefill: bool = False  # fill the cross-attention caches from memory
 
     @nn.compact
     def __call__(
@@ -523,6 +572,14 @@ class CategoricalEncDecTransformer(nn.Module):
                 name=name,
             )
 
+        if self.prefill:
+            B = memory.shape[0]
+            dummy = jnp.zeros((B, 1, c.d_model), self.dtype)
+            for i in range(c.num_layers):
+                DecoderBlock(c, dtype=self.dtype, prefill=True,
+                             name=f"dec{i}")(dummy, memory)
+            return memory
+
         if memory is None:
             h_enc = nn.Embed(self.num_classes, c.d_model, name="input_emb")(
                 input_seq
@@ -539,11 +596,22 @@ class CategoricalEncDecTransformer(nn.Module):
             target_seq
         )
         S = target_seq.shape[1]
-        tgt = tgt + posmod("target_pos")(S)
-        causal = jnp.triu(jnp.full((S, S), -jnp.inf), k=1)
+        position = None
+        if self.decode:
+            pi = self.variable(
+                "cache", "pos_index", lambda: jnp.zeros((), jnp.int32)
+            )
+            position = pi.value
+            pi.value = position + 1
+        tgt = tgt + posmod("target_pos")(S, position)
+        causal = None
+        if not self.decode:
+            causal = jnp.triu(jnp.full((S, S), -jnp.inf), k=1)
         h = tgt.astype(self.dtype)
         for i in range(c.num_layers):
-            h = DecoderBlock(c, dtype=self.dtype, name=f"dec{i}")(
+            h = DecoderBlock(c, dtype=self.dtype, decode=self.decode,
+                             decode_length=self.max_token_length,
+                             name=f"dec{i}")(
                 h, memory, causal, deterministic
             )
         h = h.astype(jnp.float32)

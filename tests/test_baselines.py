@@ -204,3 +204,39 @@ def test_autoreg_kv_cache_matches_full_recompute(rng):
     slow = model.sample_ids(params, jax.random.PRNGKey(3), 3, cond=sc,
                             sampling=cfg, use_cache=False)
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+def test_bart_kv_cache_matches_full_recompute(rng):
+    from layoutdm_tpu.tokenizer.bbox import BboxTokenizer
+    from layoutdm_tpu.tokenizer.sequence import LayoutSequenceTokenizer
+
+    bb = BboxTokenizer(
+        num_bins=32, var_order=("w", "h", "x", "y"), shared_vocab="x-y-w-h"
+    )
+    t = LayoutSequenceTokenizer(
+        bbox_tokenizer=bb, num_categories=4, max_elements=4,
+        special_tokens=("pad", "bos", "eos", "mask"), pad_until_max=True,
+    )
+    bb_bart = BackboneConfig(
+        d_model=128, nhead=4, dim_feedforward=64, num_layers=1, dropout=0.0
+    )
+    cfg = SamplingConfig(name="deterministic")
+    for sort_by in (None, "category_alphabetical"):
+        model = BART(bb_bart, t, sort_by=sort_by)
+        params = model.init(jax.random.PRNGKey(0))
+        fast = model.sample_ids(params, jax.random.PRNGKey(1), 2,
+                                sampling=cfg, use_cache=True)
+        slow = model.sample_ids(params, jax.random.PRNGKey(1), 2,
+                                sampling=cfg, use_cache=False)
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+    # conditional forcing path
+    model = BART(bb_bart, t)
+    params = model.init(jax.random.PRNGKey(0))
+    layout = random_layout(rng, B=2, S=4, n_cat=4)
+    cond = get_cond(jax.random.PRNGKey(2), layout, t, "c")
+    sc = to_sampler_cond(cond, t, cfg)
+    fast = model.sample_ids(params, jax.random.PRNGKey(3), 2, cond=sc,
+                            sampling=cfg, use_cache=True)
+    slow = model.sample_ids(params, jax.random.PRNGKey(3), 2, cond=sc,
+                            sampling=cfg, use_cache=False)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
