@@ -144,6 +144,65 @@ def make_train_step(model, optimizer, mesh: Optional[Mesh] = None):
     )
 
 
+def make_train_step_shardmap(model, optimizer, mesh: Mesh):
+    """Explicit-collective variant of the train step.
+
+    Same contract as `make_train_step`, but instead of GSPMD propagation the
+    parallelism is spelled out with `jax.shard_map`: each device computes
+    loss/grads on its batch shard and the gradients, losses, and
+    importance-state updates are combined with explicit `psum`/`pmean` over
+    the "data" axis (the ICI all-reduce the reference never had).  Kept
+    alongside the GSPMD step both as documentation of the collective layout
+    and as a cross-check (tests assert both steps produce identical
+    updates).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_data = mesh.shape["data"]
+
+    def device_fn(state: TrainState, rng: jax.Array, tokens):
+        # identical rng on every shard (replicated) would correlate the
+        # corruption noise across shards; fold in the device index
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+
+        def loss_fn(params):
+            losses, new_lt = model.loss(
+                params, rng, tokens, state.lt_state, is_train=True
+            )
+            return sum(losses.values()), (losses, new_lt)
+
+        (total, (losses, new_lt)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        # all-reduce over ICI: mean grads/metrics, sum importance counts
+        grads = jax.lax.pmean(grads, "data")
+        losses = jax.lax.pmean(losses, "data")
+        total = jax.lax.pmean(total, "data")
+        lt = LtState(
+            history=jax.lax.pmean(new_lt.history, "data"),
+            count=state.lt_state.count
+            + jax.lax.psum(new_lt.count - state.lt_state.count, "data"),
+        )
+        updates, new_opt = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params, opt_state=new_opt, lt_state=lt,
+            step=state.step + 1,
+        )
+        return new_state, {"loss": total, **losses}
+
+    mapped = jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
 def make_eval_step(model, mesh: Optional[Mesh] = None):
     """Validation loss (no dropout rng, no aux loss) — `main.py:271-294`."""
 

@@ -125,3 +125,31 @@ def test_sampling_shards_over_data_mesh():
     assert ids.shape == (B, model.seq_len)
     # output stays distributed across the 8 devices
     assert len(ids.sharding.device_set) == 8
+
+
+def test_shardmap_step_runs_and_trains():
+    """Explicit-collective (shard_map + psum) train step decreases loss."""
+    from layoutdm_tpu.train.step import make_train_step_shardmap
+
+    model = tiny_model()
+    optimizer = make_optimizer(lr=2e-3)
+    state = init_train_state(model, optimizer, jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    step = make_train_step_shardmap(model, optimizer, mesh)
+
+    data = load_dataset("synthetic", "", "train", max_seq_length=4,
+                        synthetic_size=128)
+    rng = jax.random.PRNGKey(1)
+    rng_np = np.random.RandomState(0)
+    losses = []
+    with mesh:
+        for epoch in range(4):
+            for batch in batch_iterator(data, 32, rng_np):
+                rng, r1, r2 = jax.random.split(rng, 3)
+                tokens = model.preprocess(batch, r1)
+                state, metrics = step(state, r2, tokens)
+                losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    k = len(losses) // 4
+    assert np.mean(losses[-k:]) < np.mean(losses[:k])
+    assert float(state.lt_state.count.sum()) == 32 * len(losses)
