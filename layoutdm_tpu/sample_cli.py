@@ -203,6 +203,9 @@ def run_sampling(test_cfg: TestConfig, seed_dir: str) -> Dict:
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
+    from layoutdm_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("overrides", nargs="*", help="key=value TestConfig fields")
     a = p.parse_args(argv)

@@ -237,6 +237,9 @@ def _compute_training_fid(cfg, model, state, val_data, rng, n_samples=256):
 
 def main(argv=None):
     import argparse
+    from layoutdm_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import copy
     import sys
 
