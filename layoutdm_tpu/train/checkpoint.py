@@ -19,40 +19,63 @@ from flax import serialization
 from layoutdm_tpu import configs as _configs
 
 
+def _is_remote(path: str) -> bool:
+    return "://" in path
+
+
+def _open(path: str, mode: str):
+    """Local or remote (gs:// etc. via fsspec, like the reference's
+    `common/util.py:47-64` checkpoint IO)."""
+    if _is_remote(path):
+        import fsspec
+
+        return fsspec.open(path, mode).open()
+    return open(path, mode)
+
+
+def _ensure_dir(d: str):
+    if not _is_remote(d):
+        os.makedirs(d, exist_ok=True)
+
+
+def _join(d: str, name: str) -> str:
+    return d.rstrip("/") + "/" + name if _is_remote(d) else os.path.join(d, name)
+
+
 def save_params(params: Any, ckpt_dir: str, best_or_final: str = "best"):
-    os.makedirs(ckpt_dir, exist_ok=True)
-    path = os.path.join(ckpt_dir, f"{best_or_final}_model.msgpack")
-    with open(path, "wb") as f:
+    _ensure_dir(ckpt_dir)
+    path = _join(ckpt_dir, f"{best_or_final}_model.msgpack")
+    with _open(path, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(params)))
     return path
 
 
 def load_params(template: Any, ckpt_dir: str, best_or_final: str = "best"):
-    path = os.path.join(ckpt_dir, f"{best_or_final}_model.msgpack")
-    with open(path, "rb") as f:
+    path = _join(ckpt_dir, f"{best_or_final}_model.msgpack")
+    with _open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
 
 
 def save_train_state(state: Any, ckpt_dir: str, name: str = "last_state"):
-    os.makedirs(ckpt_dir, exist_ok=True)
-    path = os.path.join(ckpt_dir, f"{name}.msgpack")
-    with open(path, "wb") as f:
+    _ensure_dir(ckpt_dir)
+    path = _join(ckpt_dir, f"{name}.msgpack")
+    with _open(path, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(state)))
     return path
 
 
 def load_train_state(template: Any, ckpt_dir: str, name: str = "last_state"):
-    path = os.path.join(ckpt_dir, f"{name}.msgpack")
-    with open(path, "rb") as f:
+    path = _join(ckpt_dir, f"{name}.msgpack")
+    with _open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
 
 
 def save_config(cfg, job_dir: str):
-    os.makedirs(job_dir, exist_ok=True)
-    with open(os.path.join(job_dir, "config.json"), "w") as f:
+    _ensure_dir(job_dir)
+    with _open(_join(job_dir, "config.json"), "w") as f:
         json.dump(_configs.to_dict(cfg), f, indent=2)
 
 
 def load_config(job_dir: str):
-    with open(os.path.join(job_dir, "config.json")) as f:
+    with _open(_join(job_dir, "config.json"), "r") as f:
         return _configs.train_config_from_dict(json.load(f))
