@@ -91,6 +91,7 @@ class ModelConfig:
     pos_emb: str = "elem_attr"  # default | elem_attr
     transformer_type: str = "flattened"
     train_sampling: str = "gumbel"  # random | gumbel
+    dtype: str = "float32"  # activation dtype: float32 | bfloat16
     att_1: float = 0.99999
     att_T: float = 0.000009
     ctt_1: float = 0.000009

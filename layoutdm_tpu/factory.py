@@ -76,37 +76,42 @@ def build_tokenizer(
 
 
 def build_model(cfg: TrainConfig, tokenizer=None, train_data=None):
+    import jax.numpy as jnp
+
     if tokenizer is None:
         tokenizer = build_tokenizer(cfg, train_data)
     name = cfg.model.name
+    dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
     if name == "layoutdm":
         from layoutdm_tpu.models.layoutdm import LayoutDM
 
-        return LayoutDM(cfg.backbone, tokenizer, cfg.model)
+        return LayoutDM(cfg.backbone, tokenizer, cfg.model, dtype=dtype)
     if name == "maskgit":
         from layoutdm_tpu.models.maskgit import MaskGIT
 
-        return MaskGIT(cfg.backbone, tokenizer, cfg.model)
+        return MaskGIT(cfg.backbone, tokenizer, cfg.model, dtype=dtype)
     if name == "blt":
         from layoutdm_tpu.models.blt import BLT
 
-        return BLT(cfg.backbone, tokenizer, cfg.model)
+        return BLT(cfg.backbone, tokenizer, cfg.model, dtype=dtype)
     if name in ("autoreg", "elem_wise_autoreg"):
         from layoutdm_tpu.models.autoreg import ElemWiseAutoreg
 
-        return ElemWiseAutoreg(cfg.backbone, tokenizer, cfg.model)
+        return ElemWiseAutoreg(cfg.backbone, tokenizer, cfg.model, dtype=dtype)
     if name == "ruite":
         from layoutdm_tpu.models.ruite import RUITE
 
-        return RUITE(cfg.backbone, tokenizer, cfg.model)
+        return RUITE(cfg.backbone, tokenizer, cfg.model, dtype=dtype)
     if name == "bart":
         from layoutdm_tpu.models.bart import BART
 
-        return BART(cfg.backbone, tokenizer, cfg.model)
+        return BART(cfg.backbone, tokenizer, cfg.model, dtype=dtype)
     if name in ("diffusionlm", "bitdiffusion"):
         from layoutdm_tpu.models.continuous.models import (
             LayoutContinuousDiffusion,
         )
 
-        return LayoutContinuousDiffusion(cfg.backbone, tokenizer, cfg.model)
+        return LayoutContinuousDiffusion(
+            cfg.backbone, tokenizer, cfg.model, dtype=dtype
+        )
     raise KeyError(name)
