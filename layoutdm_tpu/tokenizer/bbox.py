@@ -157,11 +157,39 @@ def load_kmeans_centers(
         for k in keys:
             rows.append(np.sort(np.asarray(data[f"{k}-{num_bins}"]).reshape(-1)))
     else:
-        import pickle
-
-        with open(path, "rb") as f:
-            models = pickle.load(f)
+        models = _tolerant_unpickle(path)
         for k in keys:
-            c = np.asarray(models[f"{k}-{num_bins}"].cluster_centers_).reshape(-1)
-            rows.append(np.sort(c))
+            m = models[f"{k}-{num_bins}"]
+            centers = (
+                m.cluster_centers_
+                if hasattr(m, "cluster_centers_")
+                else m.__dict__["cluster_centers_"]
+            )
+            rows.append(np.sort(np.asarray(centers).reshape(-1)))
     return np.stack(rows).astype(np.float32)
+
+
+def _tolerant_unpickle(path: str):
+    """Unpickle the reference's clustering weights WITHOUT sklearn.
+
+    The reference pickles sklearn KMeans objects (`bbox_tokenizer.py:56-58`);
+    we only need their ``cluster_centers_`` arrays, so unknown classes are
+    replaced by attribute buckets during load.
+    """
+    import io
+    import pickle
+
+    class _Bucket:
+        def __setstate__(self, state):
+            if isinstance(state, dict):
+                self.__dict__.update(state)
+
+    class _TolerantUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                return type(name, (_Bucket,), {"__module__": module})
+
+    with open(path, "rb") as f:
+        return _TolerantUnpickler(f).load()

@@ -179,3 +179,35 @@ def test_kmeans_1d_recovers_clusters(rng):
     x = np.concatenate([rng.randn(300) * 0.01 + c for c in (0.1, 0.5, 0.9)])
     centers = kmeans_1d(x, 3)
     np.testing.assert_allclose(centers, [0.1, 0.5, 0.9], atol=0.01)
+
+
+def test_tolerant_pickle_loader(tmp_path, rng):
+    """Reference clustering pickles load without sklearn installed."""
+    import pickle
+    import sys
+    import types
+
+    mod = types.ModuleType("sklearn_stub.cluster")
+
+    class KMeans:
+        pass
+
+    KMeans.__module__ = "sklearn_stub.cluster"
+    mod.KMeans = KMeans
+    sys.modules["sklearn_stub"] = types.ModuleType("sklearn_stub")
+    sys.modules["sklearn_stub.cluster"] = mod
+    models = {}
+    for k in "xywh":
+        m = KMeans()
+        m.cluster_centers_ = rng.rand(32, 1)
+        models[f"{k}-32"] = m
+    path = str(tmp_path / "clusters.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(models, f)
+    del sys.modules["sklearn_stub"], sys.modules["sklearn_stub.cluster"]
+
+    from layoutdm_tpu.tokenizer.bbox import load_kmeans_centers
+
+    centers = load_kmeans_centers(path, 32)
+    assert centers.shape == (4, 32)
+    assert (np.diff(centers, axis=1) >= 0).all()
