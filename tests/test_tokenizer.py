@@ -193,6 +193,7 @@ def test_tolerant_pickle_loader(tmp_path, rng):
         pass
 
     KMeans.__module__ = "sklearn_stub.cluster"
+    KMeans.__qualname__ = "KMeans"
     mod.KMeans = KMeans
     sys.modules["sklearn_stub"] = types.ModuleType("sklearn_stub")
     sys.modules["sklearn_stub.cluster"] = mod
