@@ -194,6 +194,7 @@ class TestConfig:
     relation_num_update: int = 3
     use_ddim: bool = False
     trace_dir: Optional[str] = None  # jax.profiler trace output (tracing aux)
+    warmup: bool = True  # untimed first-batch run so ms/sample excludes compile
 
 
 # ---------------------------------------------------------------------------

@@ -121,7 +121,15 @@ def run_sampling(test_cfg: TestConfig, seed_dir: str) -> Dict:
     trace_ctx.__enter__()
 
     if test_cfg.cond == "unconditional":
-        for n in split_num_samples(test_cfg.num_uncond_samples, B):
+        sizes = split_num_samples(test_cfg.num_uncond_samples, B)
+        if test_cfg.warmup and sizes:
+            # compile outside the timed region (the remote TPU compile can
+            # dominate a single-batch `ms per sample` otherwise)
+            w = model.sample(
+                params, rng, sizes[0], sampling=sampling, state=model_state
+            )
+            jax.block_until_ready(w["bbox"])
+        for n in sizes:
             rng, r = jax.random.split(rng)
             t0 = time.time()
             layouts = model.sample(params, r, n, sampling=sampling,
@@ -149,6 +157,7 @@ def run_sampling(test_cfg: TestConfig, seed_dir: str) -> Dict:
                 data, B, rng_np, shuffle=False, drop_last=False
             )
         ]
+        warmed = set()
         for batch in batches:
             rng, r_cond, r_samp = jax.random.split(rng, 3)
             cond = get_cond(r_cond, batch, tokenizer, test_cfg.cond)
@@ -158,6 +167,14 @@ def run_sampling(test_cfg: TestConfig, seed_dir: str) -> Dict:
                 rel = RelationData.from_batch(batch_w_canvas)
                 sc = sc.replace(relation=tuple(rel))
             n = batch["label"].shape[0]
+            if test_cfg.warmup and n not in warmed:
+                # compile per batch shape outside the timed region
+                w = model.sample(
+                    params, r_samp, n, cond=sc, sampling=sampling,
+                    guidance_fn=guidance, state=model_state,
+                )
+                jax.block_until_ready(w["bbox"])
+                warmed.add(n)
             t0 = time.time()
             layouts = model.sample(
                 params, r_samp, n, cond=sc, sampling=sampling,
