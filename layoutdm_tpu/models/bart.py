@@ -100,7 +100,22 @@ class BART:
                 self.tokenizer,
                 task,
             )["seq"]
-        return {"seq": inp, "target": data["seq"]}
+        target = data["seq"]
+        if self.tasks == ["random"] and self.sort_by == "category_alphabetical":
+            # randomly permute the target's elements so the decoder cannot
+            # infer per-category counts from position (`bart.py:236-247`)
+            import numpy as np
+
+            tgt = np.asarray(target)
+            B = tgt.shape[0]
+            C = self.tokenizer.N_var_per_element
+            n_elem = (tgt.shape[1] - 1) // C
+            body = tgt[:, 1:].reshape(B, n_elem, C)
+            for b in range(B):
+                body[b] = body[b][_random.sample(range(n_elem), n_elem)]
+            tgt[:, 1:] = body.reshape(B, n_elem * C)
+            target = jnp.asarray(tgt)
+        return {"seq": inp, "target": target}
 
     def loss(self, params, rng, tokens, state, is_train=True):
         logits = self._apply(
