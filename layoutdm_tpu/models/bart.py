@@ -106,7 +106,7 @@ class BART:
             # infer per-category counts from position (`bart.py:236-247`)
             import numpy as np
 
-            tgt = np.asarray(target)
+            tgt = np.array(target)  # writable copy
             B = tgt.shape[0]
             C = self.tokenizer.N_var_per_element
             n_elem = (tgt.shape[1] - 1) // C
