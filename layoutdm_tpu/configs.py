@@ -92,6 +92,7 @@ class ModelConfig:
     transformer_type: str = "flattened"
     train_sampling: str = "gumbel"  # random | gumbel
     dtype: str = "float32"  # activation dtype: float32 | bfloat16
+    learnable_token_emb: bool = False  # DiffusionLM codebook learnability
     att_1: float = 0.99999
     att_T: float = 0.000009
     ctt_1: float = 0.000009
@@ -101,8 +102,8 @@ class ModelConfig:
 @dataclass
 class OptimizerConfig:
     name: str = "adamw"
-    lr: float = 1e-4
-    betas: Tuple[float, float] = (0.9, 0.999)
+    lr: float = 1e-4  # reference `config/optimizer/adamw.yaml`
+    betas: Tuple[float, float] = (0.9, 0.98)
     weight_decay: float = 1e-1  # applied via optim groups, see train/step.py
 
 
@@ -217,68 +218,108 @@ def _overlay_layoutdm(cfg: TrainConfig) -> None:
 
 
 def _overlay_maskgit(cfg: TrainConfig) -> None:
+    # reference `config/experiment/maskgit_cvpr2022.yaml` adds nothing over
+    # the model swap; pad_until_max is a TPU static-shape requirement here
     cfg.model.name = "maskgit"
     cfg.data.pad_until_max = True
-    cfg.optimizer.lr = 5.0e-4
 
 
 def _overlay_blt(cfg: TrainConfig) -> None:
+    # `config/experiment/blt_eccv2022.yaml`
     cfg.model.name = "blt"
     cfg.data.pad_until_max = True
-    cfg.optimizer.lr = 5.0e-4
 
 
 def _overlay_bart(cfg: TrainConfig) -> None:
+    # `config/experiment/bart.yaml`
     cfg.model.name = "bart"
+    cfg.data.pad_until_max = True
     cfg.data.special_tokens = ("pad", "bos", "eos", "mask")
-    cfg.data.var_order = "c-w-h-x-y"  # reference `models/bart.py:55`
-    cfg.optimizer.lr = 5.0e-4
+    cfg.data.var_order = "c-w-h-x-y"
 
 
 def _overlay_autoreg(cfg: TrainConfig) -> None:
+    # `config/experiment/layout_transformer_iccv2021.yaml`
     cfg.model.name = "autoreg"
-    cfg.data.special_tokens = ("pad", "bos", "eos", "mask")
-    cfg.optimizer.lr = 5.0e-4
+    cfg.data.special_tokens = ("pad", "bos", "eos")
+    cfg.data.var_order = "c-w-h-x-y"
+    cfg.data.pad_until_max = True  # TPU static shapes
 
 
 def _overlay_ruite(cfg: TrainConfig) -> None:
+    # `config/experiment/ruite.yaml`
     cfg.model.name = "ruite"
-    cfg.data.pad_until_max = True
-    cfg.optimizer.lr = 5.0e-4
+    cfg.data.special_tokens = ("pad",)
+    cfg.data.transforms = ("RandomOrder", "AddNoiseToBBox(std=0.1)")
+    cfg.data.pad_until_max = True  # TPU static shapes
 
 
 def _overlay_vqdiffusion(cfg: TrainConfig) -> None:
-    # LayoutDM ablation with the single shared transition matrix
-    _overlay_layoutdm(cfg)
+    # `config/experiment/vqdiffusion.yaml`: single shared transition matrix,
+    # LINEAR quantization, learned default positional embedding
+    cfg.model.name = "layoutdm"
     cfg.model.q_type = "vanilla"
+    cfg.model.pos_emb = "default"
+    cfg.data.pad_until_max = True
+    cfg.data.shared_bbox_vocab = "x-y-w-h"
+    cfg.data.bbox_quantization = "linear"
+    cfg.optimizer.lr = 5.0e-4
+    cfg.backbone.timestep_type = "adalayernorm"
+    cfg.backbone.diffusion_step = 100
+    cfg.backbone.dropout = 0.0
+    cfg.scheduler.name = "reduce_lr_on_plateau"
 
 
 def _overlay_diffusionlm(cfg: TrainConfig) -> None:
+    # `config/experiment/diffusionlm_neurips2022.yaml`
     cfg.model.name = "diffusionlm"
+    cfg.model.learnable_token_emb = True
     cfg.data.pad_until_max = True
+    cfg.data.shared_bbox_vocab = "x-y-w-h"
     cfg.optimizer.lr = 5.0e-4
     cfg.backbone.timestep_type = "adalayernorm_mlp"
+    cfg.backbone.diffusion_step = 100
     cfg.backbone.dropout = 0.0
+    cfg.scheduler.name = "reduce_lr_on_plateau"
 
 
 def _overlay_bitdiffusion(cfg: TrainConfig) -> None:
     cfg.model.name = "bitdiffusion"
     cfg.data.pad_until_max = True
+    cfg.data.shared_bbox_vocab = "x-y-w-h"
     cfg.optimizer.lr = 5.0e-4
     cfg.backbone.timestep_type = "adalayernorm_mlp"
     cfg.backbone.dropout = 0.0
+
+
+def _ordered(overlay):
+    """_ordered experiment variants (`*_ordered.yaml`): deterministic
+    SortByLabel + LexicographicOrder data ordering."""
+
+    def f(cfg: TrainConfig) -> None:
+        overlay(cfg)
+        cfg.data.transforms = ("SortByLabel", "LexicographicOrder")
+
+    return f
 
 
 EXPERIMENTS = {
     "layoutdm": _overlay_layoutdm,
     "vqdiffusion": _overlay_vqdiffusion,
     "diffusionlm": _overlay_diffusionlm,
+    "diffusionlm_neurips2022": _overlay_diffusionlm,
     "bitdiffusion": _overlay_bitdiffusion,
     "maskgit": _overlay_maskgit,
+    "maskgit_cvpr2022": _overlay_maskgit,
+    "maskgit_cvpr2022_ordered": _ordered(_overlay_maskgit),
     "blt": _overlay_blt,
+    "blt_eccv2022": _overlay_blt,
+    "blt_eccv2022_ordered": _ordered(_overlay_blt),
     "bart": _overlay_bart,
     "autoreg": _overlay_autoreg,
     "elem_wise_autoreg": _overlay_autoreg,
+    "layout_transformer_iccv2021": _overlay_autoreg,
+    "layout_transformer_iccv2021_ordered": _ordered(_overlay_autoreg),
     "ruite": _overlay_ruite,
 }
 

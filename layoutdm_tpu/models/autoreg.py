@@ -43,7 +43,13 @@ class ElemWiseAutoreg:
         self.num_classes = tokenizer.N_total
         self.pad_id = tokenizer.name_to_id("pad")
         self.bos_id = tokenizer.name_to_id("bos")
-        self.mask_id = tokenizer.name_to_id("mask")
+        # -1 sentinel when no [MASK] exists — the cond-forcing comparison
+        # then always uses the model's prediction for unmasked slots
+        self.mask_id = (
+            tokenizer.name_to_id("mask")
+            if "mask" in tokenizer.special_tokens
+            else -1
+        )
         self.net = CategoricalTransformer(
             backbone=dataclasses.replace(backbone, timestep_type=None),
             num_classes=self.num_classes,

@@ -64,7 +64,9 @@ class DiffusionLM(ContinuousDiffusionBase):
         return params
 
     def _emb(self, params):
-        return params.get("token_emb", self.token_emb)
+        # checkpoint reloads may hold numpy leaves; keep device arrays so
+        # traced indexing works inside scans
+        return jnp.asarray(params.get("token_emb", self.token_emb))
 
     def dis2con(self, params, seq, rng=None):
         emb = self._emb(params)[seq]
@@ -146,7 +148,8 @@ class LayoutContinuousDiffusion:
         else:
             self.model = DiffusionLM(
                 backbone, tokenizer, num_channel=16,
-                use_self_condition=False, use_clamping_trick=True, **kw,
+                use_self_condition=False, use_clamping_trick=True,
+                learnable_token_emb=cfg.learnable_token_emb, **kw,
             )
         self.seq_len = self.model.seq_len
         self.num_classes = self.model.num_classes

@@ -160,7 +160,10 @@ def run_sampling(test_cfg: TestConfig, seed_dir: str) -> Dict:
         warmed = set()
         for batch in batches:
             rng, r_cond, r_samp = jax.random.split(rng, 3)
-            cond = get_cond(r_cond, batch, tokenizer, test_cfg.cond)
+            cond = get_cond(
+                r_cond, batch, tokenizer, test_cfg.cond,
+                model_type=train_cfg.model.name,
+            )
             sc = to_sampler_cond(cond, tokenizer, sampling)
             if test_cfg.cond == "relation":
                 batch_w_canvas = transform(rng_np, dict(batch))

@@ -41,7 +41,12 @@ def get_cond(
     """
     assert cond_type in COND_TYPES
     pad_id = tokenizer.name_to_id("pad")
-    mask_id = tokenizer.name_to_id("mask")
+    # -1 sentinel when the vocabulary has no [MASK] (`task.py:41`)
+    mask_id = (
+        tokenizer.name_to_id("mask")
+        if "mask" in tokenizer.special_tokens
+        else -1
+    )
     C = tokenizer.N_var_per_element
     has_bos = "bos" in tokenizer.special_tokens
     start = 1 if has_bos else 0  # BOS column offset (`task.py:63,97-99`)
@@ -125,8 +130,14 @@ def get_cond(
         keep = (noisy["mask"] & (idx == 0)[None, :]) | ~noisy["mask"]
         if has_bos:
             keep = keep.at[:, 0].set(True)
-        seq = jnp.where(keep, noisy["seq"], mask_id)
-        seq = jnp.where(noisy["mask"], seq, pad_id)
+        if model_type in ("LayoutDM", "ElemWiseAutoreg", "layoutdm", "autoreg",
+                         "elem_wise_autoreg"):
+            seq = jnp.where(keep, noisy["seq"], mask_id)
+            seq = jnp.where(noisy["mask"], seq, pad_id)
+        else:
+            # one-shot refiners (RUITE) consume the full noisy encoding
+            # (`task.py:139-140`)
+            seq = noisy["seq"]
         cond = {
             "seq": seq,
             "mask": keep,
