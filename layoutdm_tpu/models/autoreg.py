@@ -118,9 +118,6 @@ class ElemWiseAutoreg:
         sampling = sampling or SamplingConfig()
         B, L = batch_size, self.gen_len
 
-        # fixed-length buffer: [BOS, 0, 0, ...]; step i fills position i+1
-        buf = jnp.full((B, L), self.bos_id, jnp.int32)
-
         has_cond = cond is not None
         if has_cond:
             # cond.seq includes the BOS column (tokenizer encodes it)
@@ -136,6 +133,29 @@ class ElemWiseAutoreg:
             cond_seq = jnp.full((B, L), self.mask_id, jnp.int32)
             weak = jnp.zeros((B, L, self.num_classes), jnp.float32)
             weak_mask = jnp.zeros((B, L), bool)
+
+        key = (
+            B, bool(use_cache), sampling.name, float(sampling.temperature),
+            int(sampling.top_k), float(sampling.top_p),
+        )
+        fn = self._sampler_cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda params, rng, cond_seq, weak, weak_mask: self._decode(
+                    params, rng, cond_seq, weak, weak_mask, sampling,
+                    use_cache,
+                )
+            )
+            self._sampler_cache[key] = fn
+        return fn(params, rng, cond_seq, weak, weak_mask)
+
+    def _decode(
+        self, params, rng, cond_seq, weak, weak_mask, sampling, use_cache
+    ):
+        B, L = cond_seq.shape
+
+        # fixed-length buffer: [BOS, 0, 0, ...]; step i fills position i+1
+        buf = jnp.full((B, L), self.bos_id, jnp.int32)
 
         def constrain_and_sample(logit_i, i, r_s):
             logit_i = logit_i + jnp.where(

@@ -70,6 +70,7 @@ class BART:
         self.net_prefill = dataclasses.replace(self.net, prefill=True)
         self.net_decode = dataclasses.replace(self.net, decode=True)
         self._legal = jnp.asarray(self.tokenizer.token_mask())
+        self._sampler_cache = {}
 
     def init(self, rng):
         z = jnp.zeros((1, self.seq_len), jnp.int32)
@@ -171,6 +172,35 @@ class BART:
 
         force = (cond is not None) and not is_special
 
+        key = (
+            B, bool(use_cache), bool(force), sampling.name,
+            float(sampling.temperature), int(sampling.top_k),
+            float(sampling.top_p),
+        )
+        fn = self._sampler_cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda params, rng, enc_in, seq_user, mask_user: self._decode(
+                    params, rng, enc_in, seq_user, mask_user, sampling,
+                    use_cache, force,
+                )
+            )
+            self._sampler_cache[key] = fn
+        seq = fn(params, rng, enc_in, seq_user, mask_user)
+
+        if is_special and cond is not None:
+            seq = self._reinsert_partial(np.asarray(seq), cond)
+        return seq
+
+    def _decode(
+        self, params, rng, enc_in, seq_user, mask_user, sampling, use_cache,
+        force,
+    ):
+        B = enc_in.shape[0]
+        L = self.gen_len
+        C = self.tokenizer.N_var_per_element
+        alpha = self.sort_by == "category_alphabetical"
+
         # encoder runs ONCE; only the decoder re-runs inside the scan
         memory = self.net.apply({"params": params}, enc_in, None)
 
@@ -251,9 +281,6 @@ class BART:
             buf0 = jnp.full((B, L + 1), self.bos_id, jnp.int32)
             (buf, _), preds = jax.lax.scan(step, (buf0, rng), jnp.arange(L))
             seq = preds.T  # (B, L)
-
-        if is_special and cond is not None:
-            seq = self._reinsert_partial(np.asarray(seq), cond)
         return seq
 
     def _reinsert_partial(self, seq: np.ndarray, cond: SamplerCond):
