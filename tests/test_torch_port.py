@@ -148,3 +148,36 @@ def test_parity_adalayernorm_elem_attr():
 
 def test_parity_adalayernorm_abs_default_pos():
     _run_parity("adalayernorm_abs", "default")
+
+
+def test_import_layoutdm_checkpoint(tmp_path):
+    """Full reference-format .pt (DataParallel prefixes + Lt buffers) loads
+    into a working LayoutDM."""
+    from layoutdm_tpu.configs import BackboneConfig, ModelConfig
+    from layoutdm_tpu.models.layoutdm import LayoutDM
+    from layoutdm_tpu.utils.torch_port import import_layoutdm_checkpoint
+    from tests.test_tokenizer import make_tokenizer
+
+    tok = make_tokenizer(
+        shared_vocab="x-y-w-h", num_categories=4, max_elements=4
+    )
+    torch.manual_seed(0)
+    twin = TorchDenoiser("adalayernorm", "elem_attr")
+    # patch the twin dims to the tiny tokenizer's shapes via a fresh module
+    global V, S
+    sd = {}
+    for k, v in twin.state_dict().items():
+        sd[f"model.module.transformer.{k}"] = v
+    sd["model.module.Lt_history"] = torch.arange(T_STEPS, dtype=torch.float32)
+    sd["model.module.Lt_count"] = torch.full((T_STEPS,), 11.0)
+    path = tmp_path / "best_model.pt"
+    torch.save(sd, path)
+
+    params, lt = import_layoutdm_checkpoint(
+        str(path), num_layers=L, timestep_type="adalayernorm"
+    )
+    np.testing.assert_array_equal(np.asarray(lt.history), np.arange(T_STEPS))
+    assert (np.asarray(lt.count) == 11).all()
+    # params tree has the expected top-level modules
+    for k in ("cat_emb", "pos", "backbone", "head_norm", "head"):
+        assert k in params
