@@ -117,10 +117,12 @@ def train(cfg: TrainConfig) -> Dict:
                 state, metrics = train_step(state, r_step, tokens)
                 n_steps += 1
                 for k, v in metrics.items():
-                    totals[k] = totals.get(k, 0.0) + float(v)
+                    # accumulate ON DEVICE; a float() here would force a
+                    # host sync every step
+                    totals[k] = totals.get(k, 0.0) + v
                 if cfg.debug and n_steps >= 2:
                     break
-            totals = {k: v / max(n_steps, 1) for k, v in totals.items()}
+            totals = {k: float(v) / max(n_steps, 1) for k, v in totals.items()}
 
             # validation (`main.py:271-294`)
             val_losses, n_val = 0.0, 0
