@@ -153,3 +153,24 @@ def test_shardmap_step_runs_and_trains():
     k = len(losses) // 4
     assert np.mean(losses[-k:]) < np.mean(losses[:k])
     assert float(state.lt_state.count.sum()) == 32 * len(losses)
+
+
+def test_two_axis_mesh_train_step():
+    """(data, model) 2-D mesh: the GSPMD step runs with a nontrivial model
+    axis declared (size 2), params replicated across both axes."""
+    model = tiny_model()
+    optimizer = make_optimizer(lr=1e-3)
+    state = init_train_state(model, optimizer, jax.random.PRNGKey(0))
+    mesh = make_mesh(model_parallel=2)
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+    step = make_train_step(model, optimizer, mesh)
+    data = load_dataset("synthetic", "", "train", max_seq_length=4,
+                        synthetic_size=64)
+    rng = jax.random.PRNGKey(1)
+    with mesh:
+        for batch in batch_iterator(data, 16, np.random.RandomState(0)):
+            rng, r1, r2 = jax.random.split(rng, 3)
+            tokens = model.preprocess(batch, r1)
+            state, metrics = step(state, r2, tokens)
+            break
+    assert np.isfinite(float(metrics["loss"]))
