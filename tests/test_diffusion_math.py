@@ -216,3 +216,35 @@ def test_corrupt_roundtrip_shapes(rng):
     maskT = (np.asarray(xt[1]) == tok.name_to_id("mask")).mean()
     assert keep0 > 0.9
     assert maskT > 0.9
+
+
+def test_corruption_frequencies_match_schedule(rng):
+    """Empirical keep/uniform/mask rates of `corrupt` match (att, btt, ctt)
+    per attribute at a mid-chain timestep."""
+    import jax
+
+    from layoutdm_tpu.ops.log_math import alpha_schedule
+
+    tok = make_tokenizer(shared_vocab="x-y-w-h", num_categories=5,
+                         max_elements=4)
+    q = ConstrainedQ(tok, T)
+    from tests.test_tokenizer import random_layout
+
+    layout = random_layout(rng, B=512, S=4, n_cat=5)
+    layout["mask"][:] = True
+    seq = tok.encode(layout)["seq"]
+    t = jnp.full((512,), T // 2, jnp.int32)
+    _, xt = q.corrupt(jax.random.PRNGKey(0), seq, t)
+    xt = np.asarray(xt).reshape(512, 4, 5)
+    seq_r = np.asarray(seq).reshape(512, 4, 5)
+    mask_id = tok.name_to_id("mask")
+
+    for a, N in [(0, 6), (1, 33)]:  # category attr, x attr
+        att, btt, ctt = alpha_schedule(T, N=N)[3:6]
+        kept = (xt[..., a] == seq_r[..., a]).mean()
+        masked = (xt[..., a] == mask_id).mean()
+        # kept = att + btt (uniform can land on the original token)
+        np.testing.assert_allclose(
+            kept, att[T // 2] + btt[T // 2], atol=0.05
+        )
+        np.testing.assert_allclose(masked, ctt[T // 2], atol=0.05)
