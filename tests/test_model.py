@@ -184,3 +184,23 @@ def test_seq_type_set_shuffles_pad(rng):
     assert (seq == pad_id).sum() == 4 * 2 * 5
     poset = np.asarray(model.preprocess(layout)["seq"]).reshape(4, 4, 5)
     assert (poset[:, 2:] == pad_id).all()
+
+
+def test_vanilla_q_sampling(rng):
+    """The vqdiffusion ablation (single shared transition matrix) samples
+    through the same compiled chain."""
+    model = tiny_model(q_type="vanilla")
+    params = model.init(jax.random.PRNGKey(0))
+    ids = model.sample_ids(params, jax.random.PRNGKey(1), batch_size=2)
+    assert ids.shape == (2, model.seq_len)
+    # conditional c preserves categories through the vanilla posterior too
+    layout = random_layout(rng, B=2, S=4, n_cat=4)
+    cond = get_cond(jax.random.PRNGKey(2), layout, model.tokenizer, "c")
+    sc = to_sampler_cond(cond, model.tokenizer, SamplingConfig())
+    out = np.asarray(
+        model.sample_ids(params, jax.random.PRNGKey(3), 2, cond=sc)
+    ).reshape(2, 4, 5)
+    for b in range(2):
+        for s in range(4):
+            if layout["mask"][b, s]:
+                assert out[b, s, 0] == layout["label"][b, s]
