@@ -16,8 +16,6 @@ released `model_best.pth.tar` weights into this module.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

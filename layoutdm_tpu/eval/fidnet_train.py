@@ -9,11 +9,8 @@ by `eval.fidnet.load_fidnet_v3`).
 
 from __future__ import annotations
 
-import json
 import logging
 import os
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

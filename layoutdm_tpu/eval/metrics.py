@@ -10,8 +10,7 @@ numpy/scipy).
 
 from __future__ import annotations
 
-from itertools import chain
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 from scipy import linalg

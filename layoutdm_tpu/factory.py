@@ -10,7 +10,6 @@ import numpy as np
 
 from layoutdm_tpu.configs import TrainConfig
 from layoutdm_tpu.data.datasets import LayoutData, load_dataset
-from layoutdm_tpu.registry import DATASET_LABELS
 from layoutdm_tpu.tokenizer.bbox import BboxTokenizer, load_kmeans_centers
 from layoutdm_tpu.tokenizer.clustering import fit_coordinate_clusters
 from layoutdm_tpu.tokenizer.sequence import LayoutSequenceTokenizer

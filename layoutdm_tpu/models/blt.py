@@ -9,7 +9,7 @@ sample.  All loops are scans over static per-step group masks.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,13 +9,13 @@ using the legality mask), and the `LayoutContinuousDiffusion` wrapper
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from layoutdm_tpu.configs import BackboneConfig, ModelConfig, SamplingConfig
+from layoutdm_tpu.configs import BackboneConfig, ModelConfig
 from layoutdm_tpu.models.continuous.base import (
     ContinuousDiffusionBase,
     log_snr_to_alpha_sigma,

@@ -12,8 +12,6 @@ Transition semantics per step t (classes 0..V-2 "real", V-1 = [MASK]):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

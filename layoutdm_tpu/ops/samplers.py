@@ -12,8 +12,6 @@ reference's `torch.multinomial(F.softmax(logits))` draws from.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

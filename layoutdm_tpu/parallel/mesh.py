@@ -13,8 +13,6 @@ reference's ~12M-param scale it stays size 1 (SURVEY.md §2.2 TP row).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

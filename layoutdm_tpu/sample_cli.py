@@ -16,7 +16,7 @@ import logging
 import os
 import pickle
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import numpy as np

@@ -19,7 +19,7 @@ Semantics parity:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Tuple
 
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ with MASK required to be the last id for diffusion models
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp

@@ -10,10 +10,9 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
-import numpy as np
 from flax import serialization
 
 from layoutdm_tpu import configs as _configs

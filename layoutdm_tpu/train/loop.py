@@ -12,7 +12,7 @@ import json
 import logging
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

@@ -11,7 +11,7 @@ reference's multi-GPU path (SURVEY.md §2.2).
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
