@@ -100,3 +100,46 @@ def test_eval_and_render_cli(trained_job, tmp_path, capsys):
     out_dir = os.path.splitext(pkl)[0] + "_render"
     assert os.path.exists(os.path.join(out_dir, "generated.png"))
     assert os.path.exists(os.path.join(out_dir, "scores.csv"))
+
+
+def test_train_resume(tmp_path):
+    """Interrupted training resumes from the checkpointed epoch."""
+    import json
+
+    from layoutdm_tpu.configs import build_train_config
+    from layoutdm_tpu.train.loop import train
+
+    job_dir = str(tmp_path / "resume_job")
+    overrides = [
+        f"job_dir={job_dir}",
+        "dataset.max_seq_length=4",
+        "data.batch_size=32",
+        "data.bbox_quantization=linear",
+        "backbone.d_model=128",
+        "backbone.nhead=4",
+        "backbone.dim_feedforward=64",
+        "backbone.num_layers=1",
+        "model.num_timesteps=4",
+        "backbone.diffusion_step=4",
+        "training.sample_plot_epoch_interval=0",
+        "training.epochs=2",
+    ]
+    cfg = build_train_config("layoutdm", "synthetic", overrides)
+    train(cfg)
+    rows = [
+        json.loads(l)
+        for l in open(os.path.join(job_dir, "metrics.jsonl"))
+        if "val_loss" in l
+    ]
+    assert [r["epoch"] for r in rows] == [0, 1]
+
+    cfg2 = build_train_config("layoutdm", "synthetic", overrides)
+    cfg2.training.epochs = 4
+    train(cfg2)
+    rows = [
+        json.loads(l)
+        for l in open(os.path.join(job_dir, "metrics.jsonl"))
+        if "val_loss" in l
+    ]
+    # epochs 2,3 appended — 0,1 were NOT retrained
+    assert [r["epoch"] for r in rows] == [0, 1, 2, 3]

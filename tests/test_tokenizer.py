@@ -212,3 +212,21 @@ def test_tolerant_pickle_loader(tmp_path, rng):
     centers = load_kmeans_centers(path, 32)
     assert centers.shape == (4, 32)
     assert (np.diff(centers, axis=1) >= 0).all()
+
+
+def test_percentile_quantization_roundtrip(rng):
+    """Percentile (equal-mass) binning quantizes and round-trips."""
+    data = rng.rand(5000, 4).astype(np.float32)
+    fitted = fit_coordinate_clusters(data, (32,), "percentile")
+    centers = np.stack([fitted[f"{k}-32"] for k in "xywh"])
+    tok = make_tokenizer(
+        "x-y-w-h", "percentile", centers=centers, num_categories=4,
+        max_elements=4,
+    )
+    layout = random_layout(rng, B=2, S=4, n_cat=4)
+    enc = tok.encode(layout)
+    dec = tok.decode(np.asarray(enc["seq"]))
+    enc2 = tok.encode(
+        {"label": dec["label"], "bbox": dec["bbox"], "mask": dec["mask"]}
+    )
+    np.testing.assert_array_equal(np.asarray(enc2["seq"]), np.asarray(enc["seq"]))
