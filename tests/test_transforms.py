@@ -56,7 +56,9 @@ def test_add_canvas(rng):
     out = AddCanvasElement()(rng, batch)
     assert out["label"].shape == (2, 5)
     np.testing.assert_array_equal(out["label"][:, 0], 0)
-    np.testing.assert_allclose(out["bbox"][:, 0], [0.5, 0.5, 1.0, 1.0])
+    np.testing.assert_allclose(
+        out["bbox"][:, 0], [[0.5, 0.5, 1.0, 1.0]] * 2
+    )
     # original labels shifted +1 where valid
     np.testing.assert_array_equal(
         out["label"][:, 1:][batch["mask"]],
