@@ -146,3 +146,56 @@ def test_relation_guided_sampling(rng):
         for s in range(3):
             if layout["mask"][b, s]:
                 assert ids[b, s, 0] == layout["label"][b, s]
+
+
+def test_guidance_gate_and_effect(rng):
+    """Relation guidance modifies logits only for t >= 10
+    (`logit_adjustment.py:107`) and, at the reference's lambda scale,
+    changes the sampled output."""
+    import jax.numpy as jnp
+
+    from layoutdm_tpu.configs import BackboneConfig, ModelConfig
+    from layoutdm_tpu.models.layoutdm import LayoutDM
+    from tests.test_tokenizer import make_tokenizer
+
+    T = 16
+    tok = make_tokenizer(shared_vocab="x-y-w-h", num_categories=3,
+                         max_elements=3)
+    layout = random_layout(rng, B=4, S=3, n_cat=3)
+    layout["mask"][:] = True
+    transform = compose_transform(
+        ["AddCanvasElement",
+         "AddRelationConstraints(edge_ratio=0.9, seed=0, max_edges=16)"]
+    )
+    bwc = transform(rng, dict(layout))
+    rel = RelationData.from_batch(bwc)
+    cond = get_cond(jax.random.PRNGKey(1), layout, tok, "relation")
+    sc = to_sampler_cond(cond, tok, SamplingConfig()).replace(
+        relation=tuple(rel)
+    )
+
+    g = make_relation_guidance(
+        tok, SamplingConfig(relation_num_update=3, relation_lambda=3e6)
+    )
+    mlp = jnp.asarray(rng.randn(4, tok.max_token_length, tok.N_total),
+                      jnp.float32)
+    # gated off below t=10; active above
+    np.testing.assert_array_equal(
+        np.asarray(g(mlp, jnp.asarray(5), sc)), np.asarray(mlp)
+    )
+    assert float(jnp.abs(g(mlp, jnp.asarray(12), sc) - mlp).max()) > 1.0
+
+    bb = BackboneConfig(d_model=128, nhead=4, dim_feedforward=128,
+                        num_layers=1, dropout=0.0,
+                        timestep_type="adalayernorm", diffusion_step=T)
+    model = LayoutDM(bb, tok, ModelConfig(num_timesteps=T))
+    params = model.init(jax.random.PRNGKey(0))
+    plain = model.sample_ids(params, jax.random.PRNGKey(2), 4, cond=sc)
+    guided = model.sample_ids(params, jax.random.PRNGKey(2), 4, cond=sc,
+                              guidance_fn=g)
+    assert not np.array_equal(np.asarray(plain), np.asarray(guided))
+    # strong constraints survive guidance
+    np.testing.assert_array_equal(
+        np.asarray(guided)[np.asarray(sc.strong_mask)],
+        np.asarray(sc.seq)[np.asarray(sc.strong_mask)],
+    )
