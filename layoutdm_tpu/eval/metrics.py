@@ -352,6 +352,11 @@ def _docsim_pair(l1: Layout, l2: Layout, max_diff_thresh: int = 3) -> float:
 def compute_docsim(
     layouts_gt: List[Layout], layouts_gen: List[Layout]
 ) -> float:
+    from layoutdm_tpu import native
+
+    scores = native.docsim_pairs(layouts_gt, layouts_gen)
+    if scores is not None:
+        return float(scores.mean())
     return float(
         np.mean([_docsim_pair(a, b) for a, b in zip(layouts_gt, layouts_gen)])
     )

@@ -81,6 +81,49 @@ def linear_sum_assignment(
     return rows, col4row[rows]
 
 
+def docsim_pairs(
+    layouts_1, layouts_2, max_diff_thresh: int = 3
+) -> Optional[np.ndarray]:
+    """Per-pair DocSim scores (aligned lists); None without the library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+
+    def pack(group):
+        boxes = np.concatenate(
+            [np.asarray(b, np.float32).reshape(-1, 4) for b, _ in group]
+            or [np.zeros((0, 4), np.float32)]
+        )
+        labels = np.concatenate(
+            [np.asarray(l, np.int32).reshape(-1) for _, l in group]
+            or [np.zeros((0,), np.int32)]
+        )
+        offsets = np.zeros((len(group) + 1,), np.int32)
+        np.cumsum([len(l) for _, l in group], out=offsets[1:])
+        return (
+            np.ascontiguousarray(boxes),
+            np.ascontiguousarray(labels),
+            np.ascontiguousarray(offsets),
+        )
+
+    b1, l1, o1 = pack(layouts_1)
+    b2, l2, o2 = pack(layouts_2)
+    n = min(len(layouts_1), len(layouts_2))
+    out = np.zeros((n,), np.float64)
+    lib.docsim_pairs(
+        b1.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        l1.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        o1.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        b2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        l2.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        o2.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ctypes.c_int(n),
+        ctypes.c_int(max_diff_thresh),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return out
+
+
 def max_iou_score_matrix(group1, group2) -> Optional[np.ndarray]:
     """(N, M) pair scores for two layout groups (lists of (bbox, label)).
     Returns None if the native library is unavailable."""

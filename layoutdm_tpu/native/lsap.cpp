@@ -183,4 +183,51 @@ void max_iou_score_matrix(const float* boxes1, const int* labels1,
   }
 }
 
+// DocSim between aligned layout pairs (`metric.py:434-507`): per pair,
+// optimal assignment over the position/size similarity kernel, mean of the
+// matched weights; 0 when element counts differ by >= max_diff_thresh.
+void docsim_pairs(const float* boxes1, const int* labels1,
+                  const int* offsets1, const float* boxes2,
+                  const int* labels2, const int* offsets2, int n_pairs,
+                  int max_diff_thresh, double* out) {
+#pragma omp parallel for schedule(dynamic)
+  for (int p = 0; p < n_pairs; ++p) {
+    int s1 = offsets1[p], e1 = offsets1[p + 1];
+    int s2 = offsets2[p], e2 = offsets2[p + 1];
+    int n = e1 - s1, m = e2 - s2;
+    if (n >= m + max_diff_thresh || n <= m - max_diff_thresh || n == 0 ||
+        m == 0) {
+      out[p] = 0.0;
+      continue;
+    }
+    std::vector<double> w((size_t)n * m, 0.0);
+    for (int i = 0; i < n; ++i) {
+      const float* b1 = boxes1 + 4 * (s1 + i);
+      for (int j = 0; j < m; ++j) {
+        if (labels1[s1 + i] != labels2[s2 + j]) continue;
+        const float* b2 = boxes2 + 4 * (s2 + j);
+        double dc = std::sqrt((b1[0] - b2[0]) * (b1[0] - b2[0]) +
+                              (b1[1] - b2[1]) * (b1[1] - b2[1]));
+        double dsz = std::abs(b1[2] - b2[2]) + std::abs(b1[3] - b2[3]);
+        double area = std::min((double)b1[2] * b1[3], (double)b2[2] * b2[3]);
+        double alpha = std::pow(std::max(area, 0.0), 0.5);
+        w[(size_t)i * m + j] = alpha * std::pow(2.0, -dc - 2.0 * dsz);
+      }
+    }
+    // maximize => minimize negated; rows must be the smaller side
+    int rn = std::min(n, m), rm = std::max(n, m);
+    std::vector<double> cost((size_t)rn * rm);
+    if (n <= m) {
+      for (size_t k = 0; k < w.size(); ++k) cost[k] = -w[k];
+    } else {
+      for (int i = 0; i < n; ++i)
+        for (int j = 0; j < m; ++j)
+          cost[(size_t)j * rm + i] = -w[(size_t)i * m + j];
+    }
+    std::vector<int> assign(rn, -1);
+    double total = -hungarian_min(rn, rm, cost.data(), assign.data());
+    out[p] = total / rn;
+  }
+}
+
 }  // extern "C"

@@ -67,3 +67,22 @@ def test_compute_maximum_iou_native_consistent(lib, rng):
         l = rng.randint(0, 3, n)
         layouts.append((b, l))
     assert np.isclose(compute_maximum_iou(layouts, layouts), 1.0)
+
+
+def test_docsim_pairs_matches_python(lib, rng):
+    from layoutdm_tpu.eval.metrics import _docsim_pair
+
+    def mk(n_layouts):
+        out = []
+        for _ in range(n_layouts):
+            n = rng.randint(1, 6)
+            b = rng.rand(n, 4).astype(np.float32) * 0.5 + 0.2
+            out.append((b, rng.randint(0, 3, n)))
+        return out
+
+    a, b = mk(12), mk(12)
+    scores = native.docsim_pairs(a, b)
+    for i in range(12):
+        np.testing.assert_allclose(
+            scores[i], _docsim_pair(a[i], b[i]), atol=1e-6
+        )
