@@ -66,3 +66,52 @@ def test_compute_real_baseline():
     scores = compute_real_baseline("synthetic", "", max_seq_length=6)
     assert "maximum_iou" in scores and "wdist_class" in scores
     assert all(np.isfinite(v).all() for v in scores.values())
+
+
+def test_eval_cli_multi_seed_aggregation(tmp_path, rng):
+    """evaluate_results aggregates mean±std across seed pickles."""
+    import pickle
+
+    from layoutdm_tpu.configs import build_train_config, to_dict
+    from layoutdm_tpu.eval_cli import evaluate_results, print_scores
+
+    cfg = build_train_config(
+        "layoutdm", "synthetic",
+        ["dataset.max_seq_length=6", "data.bbox_quantization=linear"],
+    )
+    paths = []
+    for seed in range(2):
+        r = np.random.RandomState(seed)
+        layouts = []
+        for _ in range(16):
+            n = r.randint(1, 6)
+            layouts.append(
+                (r.rand(n, 4).astype(np.float32) * 0.5 + 0.2,
+                 r.randint(0, 5, n))
+            )
+        out = {
+            "results": layouts,
+            "train_cfg": to_dict(cfg),
+            "test_cfg": {"cond": "c"},
+            "ms_per_sample": 10.0 + seed,
+        }
+        p = tmp_path / f"c_test_seed_{seed}.pkl"
+        with open(p, "wb") as f:
+            pickle.dump(out, f)
+        paths.append(str(p))
+
+    scores = evaluate_results(paths)
+    assert len(scores["maximum_iou"]) == 2
+    assert len(scores["ms_per_sample"]) == 2
+    assert np.isclose(np.mean(scores["ms_per_sample"]), 10.5)
+    print_scores(scores)
+
+
+def test_throughput_helper():
+    from layoutdm_tpu.utils.profiling import Throughput
+
+    tp = Throughput()
+    with tp.measure(10):
+        pass
+    assert tp.items == 10
+    assert tp.items_per_sec > 0
