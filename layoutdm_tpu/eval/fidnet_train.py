@@ -120,6 +120,11 @@ def train_fidnet(
                         f.write(serialization.to_bytes(jax.device_get(params)))
             if it >= iterations:
                 break
+    # always leave a checkpoint, even for runs shorter than log_every
+    best_path = os.path.join(ckpt_dir, "model_best.msgpack")
+    if not os.path.exists(best_path):
+        with open(best_path, "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(params)))
     return params
 
 

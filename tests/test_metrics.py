@@ -251,3 +251,25 @@ def test_fidnet_torch_import_roundtrip(tmp_path, rng):
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_fidnet_train_cli(tmp_path):
+    """fidnet_train CLI end-to-end on synthetic (tiny budget)."""
+    from layoutdm_tpu.eval.fidnet import load_fidnet_v3
+    from layoutdm_tpu.eval.fidnet_train import main as fid_main
+
+    out_dir = str(tmp_path / "fidw")
+    fid_main(
+        [
+            "synthetic", "--data_dir", "", "--out_dir", out_dir,
+            "--max_seq_length", "4", "--batch_size", "32",
+            "--iteration", "40",
+        ]
+    )
+    import os
+
+    assert os.path.exists(
+        os.path.join(out_dir, "synthetic-max4", "model_best.msgpack")
+    )
+    model, params = load_fidnet_v3("synthetic", 5, out_dir, 4)
+    assert model.num_labels == 5
