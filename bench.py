@@ -59,6 +59,50 @@ def build_flagship(dtype=jnp.float32):
     return LayoutDM(backbone, tok, cfg, dtype=dtype)
 
 
+def flops_per_layout(model, num_timesteps=100):
+    """Analytic dense-FLOP count of one sampled layout (MAC = 2 FLOPs).
+
+    Counts the denoiser GEMMs (qkv/out/ff + attention scores + head) plus the
+    posterior's two route matmuls; elementwise log-space work is excluded
+    (HBM-bound, not FLOP-bound).
+    """
+    bb = model.backbone_cfg
+    d, ff, L = bb.d_model, bb.dim_feedforward, bb.num_layers
+    S, V = model.seq_len, model.num_classes
+    per_token_layer = 2 * d * d * 4 + 2 * d * ff * 2  # qkv+out, 2 ff GEMMs
+    attn = 2 * 2 * S * d  # scores + weighted sum, per token per layer
+    head = 2 * d * V
+    denoiser = S * (L * (per_token_layer + attn) + head)
+    # converter route matmuls (f_to_p + p_to_f), (S/A, A, Vf) x (A, Vf, Vp)
+    cv = getattr(model.q, "converter", None)
+    routes = 2 * (S * 2 * cv.Vf * cv.Vp) if cv is not None else 0
+    return num_timesteps * (denoiser + routes)
+
+
+def measure_gemm_ceiling(batch, model, dtype=jnp.bfloat16):
+    """Measured TFLOP/s of the sampler's dominant GEMM shape on this chip:
+    (B*S, d) x (d, ff) in bf16 — an honest per-shape roofline, not the
+    datasheet peak."""
+    bb = model.backbone_cfg
+    m, k, n = batch * model.seq_len, bb.d_model, bb.dim_feedforward
+    a = jnp.ones((m, k), dtype)
+    b = jnp.ones((k, n), dtype)
+
+    @jax.jit
+    def gemm(a, b):
+        return a @ b
+
+    gemm(a, b).block_until_ready()
+    n_iters = 20
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n_iters):
+        out = gemm(a, b)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return 2.0 * m * k * n * n_iters / dt / 1e12
+
+
 def main():
     # bf16 activations (f32 params/logits): the denoiser dominates the step
     model = build_flagship(dtype=jnp.bfloat16)
@@ -91,6 +135,11 @@ def main():
     dt = time.perf_counter() - t0
 
     layouts_per_sec = batch * n_runs / dt
+
+    # honest roofline: achieved TFLOP/s vs a measured same-shape GEMM ceiling
+    est_flops = flops_per_layout(model)
+    achieved_tflops = layouts_per_sec * est_flops / 1e12
+    ceiling = measure_gemm_ceiling(batch, model)
     print(
         json.dumps(
             {
@@ -100,6 +149,11 @@ def main():
                 "vs_baseline": round(
                     layouts_per_sec / CPU_REFERENCE_LAYOUTS_PER_SEC, 2
                 ),
+                "batch": batch,
+                "est_gflops_per_layout": round(est_flops / 1e9, 1),
+                "achieved_tflops": round(achieved_tflops, 1),
+                "gemm_ceiling_tflops": round(ceiling, 1),
+                "mfu_vs_gemm_ceiling": round(achieved_tflops / ceiling, 3),
             }
         )
     )
