@@ -31,6 +31,41 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def make_multislice_mesh(
+    num_slices: int,
+    devices=None,
+    axis_names: tuple = ("dcn", "data"),
+) -> Mesh:
+    """Multi-slice mesh: outer "dcn" axis across slices, inner "data" axis
+    over each slice's ICI.
+
+    Device order matters: slow DCN collectives must ride the OUTER mesh
+    axis, so devices are grouped by slice (via ``device.slice_index`` when
+    the runtime exposes multi-slice topology, else by equal split order).
+    Batch sharding over BOTH axes — ``P(("dcn", "data"))`` — keeps the
+    per-step gradient all-reduce hierarchical: XLA reduces within each
+    slice over ICI first, then once across slices over DCN.
+
+    Hardware validation is deferred (single-chip environment, SURVEY §2.2);
+    the layout is exercised on virtual devices in `tests/test_train.py`.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    assert n % num_slices == 0, f"{n} devices not divisible by {num_slices}"
+    per_slice = n // num_slices
+    if hasattr(devices[0], "slice_index") and getattr(
+        devices[0], "slice_index", None
+    ) is not None:
+        devices = sorted(devices, key=lambda d: (d.slice_index, d.id))
+    arr = np.asarray(devices).reshape(num_slices, per_slice)
+    return Mesh(arr, axis_names)
+
+
+def hierarchical_batch_spec(mesh: Mesh) -> P:
+    """Batch PartitionSpec across every mesh axis (dcn outermost)."""
+    return P(tuple(mesh.axis_names))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading axis split across the data axis."""
     return NamedSharding(mesh, P("data"))

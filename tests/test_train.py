@@ -174,3 +174,50 @@ def test_two_axis_mesh_train_step():
             state, metrics = step(state, r2, tokens)
             break
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_multislice_dcn_mesh_train_step():
+    """("dcn", "data") two-axis layout: flagship-config train step with the
+    batch sharded over BOTH axes on 2 virtual slices x 4 devices."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from layoutdm_tpu.parallel.mesh import (
+        hierarchical_batch_spec,
+        make_multislice_mesh,
+    )
+    from layoutdm_tpu.train.step import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from tests.test_model import tiny_model
+
+    model = tiny_model()
+    mesh = make_multislice_mesh(num_slices=2)
+    assert mesh.axis_names == ("dcn", "data")
+    assert mesh.shape["dcn"] == 2 and mesh.shape["data"] == 4
+
+    optimizer = make_optimizer(lr=1e-3)
+    state = init_train_state(model, optimizer, jax.random.PRNGKey(0))
+
+    # GSPMD step with the batch split over (dcn, data) jointly
+    def step_fn(state, rng, tokens):
+        return make_train_step(model, optimizer, None)(state, rng, tokens)
+
+    repl = NamedSharding(mesh, P())
+    bspec = NamedSharding(mesh, hierarchical_batch_spec(mesh))
+    step = jax.jit(
+        lambda s, r, t: step_fn(s, r, t),
+        in_shardings=(repl, repl, bspec),
+        out_shardings=(repl, repl),
+    )
+    B = 16
+    seq = jnp.tile(
+        jnp.arange(model.seq_len, dtype=jnp.int32) % model.tokenizer.N_category,
+        (B, 1),
+    )
+    with mesh:
+        state, metrics = step(state, jax.random.PRNGKey(1), seq)
+    assert jnp.isfinite(metrics["loss"])
