@@ -74,12 +74,15 @@ def sample_relations(
     bbox: np.ndarray,  # (N, 4) — index 0 is the canvas if has_canvas
     label: np.ndarray,
     edge_ratio: float = 0.1,
-    seed: int = None,
+    seed: int = 0,
     has_canvas: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Sample ~edge_ratio of ordered (size, loc) relation slots among element
     pairs and bit-encode them (`data/util.py:136-177`).  Returns
-    (edge_index (E,2), edge_attr (E,)) with i<j pairs."""
+    (edge_index (E,2), edge_attr (E,)) with i<j pairs.
+
+    Always seeded (default 0): two runs with the same seed produce identical
+    constraint graphs — never the process-global RNG."""
     N = bbox.shape[0]
     gen = _random.Random(seed)
     rel_all = list(product(range(2), combinations(range(N), 2)))

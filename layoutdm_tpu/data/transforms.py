@@ -111,11 +111,15 @@ class AddRelationConstraints:
         ei, ea, em = [], [], []
         for b in range(B):
             n = int(batch["mask"][b].sum())
+            # explicit seed wins; otherwise draw from the pipeline's
+            # config-seeded RandomState (never the process-global RNG)
             e = sample_relations(
                 batch["bbox"][b, :n],
                 batch["label"][b, :n],
                 edge_ratio=self.edge_ratio,
-                seed=self.seed if self.seed is None else self.seed + b,
+                seed=self.seed + b
+                if self.seed is not None
+                else int(rng.randint(0, 2**31 - 1)),
                 has_canvas=has_canvas,
             )
             p = pad_edges(e[0], e[1], self.max_edges)
