@@ -126,12 +126,18 @@ def evaluate_results(
 
 
 def print_scores(scores: Dict[str, List[float]]):
-    """mean±std CSV like `eval.py:53-83`."""
+    """mean±std CSV + the paper-table LaTeX row (`eval.py:53-83`, the
+    `& mean\\std{relstd}\\%` format printed at `eval.py:75`)."""
     keys = sorted(scores)
     print(",".join(keys))
     means = [np.mean(scores[k]) for k in keys]
     stds = [np.std(scores[k]) for k in keys]
     print(",".join(f"{m:.4f}±{s:.4f}" for m, s in zip(means, stds)))
+    tex = ""
+    for m, s in zip(means, stds):
+        stdp = s * 100.0 / m if m else 0.0
+        tex += f"& {m:.4f}\\std{{{stdp:.1f}}}\\% "
+    print(tex + "\\\\")
 
 
 def compute_real_baseline(

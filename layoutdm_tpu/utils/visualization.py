@@ -34,12 +34,26 @@ def convert_layout_to_image(
     label: np.ndarray,  # (N,)
     colors: Sequence[Tuple[int, int, int]],
     canvas_size: Tuple[int, int] = (360, 520),
+    resources: Optional[Dict] = None,
+    names: Optional[Sequence[str]] = None,
 ) -> "Image.Image":
     """One layout -> PIL image (`visualization.py:17-63`): draw large areas
-    first, translucent fill + solid outline."""
+    first, translucent fill + solid outline.
+
+    ``resources`` enables the reference's real-image mode
+    (`visualization.py:26-57`): ``{"img_bg": PIL image,
+    "cropped_patches": [PIL patch per element]}`` — the background screenshot
+    is used as the canvas and each element is rendered by pasting its
+    cropped real-image patch (resized to the element's box) instead of a
+    colored rectangle.  ``names`` draws the category name at each box's
+    top-left corner.
+    """
     assert HAS_PIL, "Pillow not available"
     W, H = canvas_size
-    img = Image.new("RGBA", (W, H), (255, 255, 255, 255))
+    if resources:
+        img = resources["img_bg"].resize((W, H)).convert("RGBA")
+    else:
+        img = Image.new("RGBA", (W, H), (255, 255, 255, 255))
     draw = ImageDraw.Draw(img, "RGBA")
     if len(label):
         area = bbox[:, 2] * bbox[:, 3]
@@ -49,8 +63,23 @@ def convert_layout_to_image(
             l, t = (x - w / 2) * W, (y - h / 2) * H
             r, b = (x + w / 2) * W, (y + h / 2) * H
             c = colors[int(label[i]) % len(colors)]
-            draw.rectangle([l, t, r, b], fill=c + (100,), outline=c + (255,),
-                           width=2)
+            if resources:
+                # paste the element's cropped real-image patch
+                # (`visualization.py:50-57`)
+                li, ti, ri, bi = int(l), int(t), int(r), int(b)
+                pw, ph = max(ri - li, 1), max(bi - ti, 1)
+                patch = resources["cropped_patches"][int(i)].resize((pw, ph))
+                img.paste(patch.convert("RGBA"), (li, ti))
+            else:
+                draw.rectangle(
+                    [l, t, r, b], fill=c + (100,), outline=c + (255,), width=2
+                )
+            if names is not None:
+                draw.text(
+                    (max(l, 0) + 2, max(t, 0) + 2),
+                    names[int(label[i]) % len(names)],
+                    fill=(0, 0, 0, 255),
+                )
     return img.convert("RGB")
 
 
@@ -60,19 +89,32 @@ def save_image(
     num_categories: int,
     canvas_size: Tuple[int, int] = (360, 520),
     ncols: Optional[int] = None,
+    batch_resources: Optional[Dict] = None,
+    names: Optional[Sequence[str]] = None,
 ) -> None:
-    """Batch -> grid montage (`visualization.py:66-115`)."""
+    """Batch -> grid montage (`visualization.py:66-115`).
+
+    ``batch_resources``: per-sample lists/dicts for real-image rendering —
+    ``{"img_bg": [B PIL images], "cropped_patches": [B lists of patches]}``.
+    """
     colors = category_colors(num_categories)
     bbox = np.asarray(layouts["bbox"])
     label = np.asarray(layouts["label"])
     mask = np.asarray(layouts["mask"])
     B = bbox.shape[0]
-    imgs = [
-        convert_layout_to_image(
-            bbox[i][mask[i]], label[i][mask[i]], colors, canvas_size
+    imgs = []
+    for i in range(B):
+        res = (
+            {k: v[i] for k, v in batch_resources.items()}
+            if batch_resources
+            else None
         )
-        for i in range(B)
-    ]
+        imgs.append(
+            convert_layout_to_image(
+                bbox[i][mask[i]], label[i][mask[i]], colors, canvas_size,
+                resources=res, names=names,
+            )
+        )
     _save_grid(imgs, out_path, canvas_size, ncols)
 
 
