@@ -130,7 +130,13 @@ def parse_rico(
 def parse_publaynet(
     coco_json: str, labels: Tuple[str, ...], max_seq_length: int
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
-    """COCO-format parser (`publaynet.py:40-106`) without pycocotools."""
+    """COCO-format parser (`publaynet.py:40-106`) without pycocotools.
+
+    Semantics match the reference exactly: landscape pages (H < W) are
+    skipped; INVALID annotations are filtered out while the page is kept
+    (`publaynet.py:49-63` — the reference only drops a page when zero valid
+    elements remain or it exceeds max_seq_length).
+    """
     with open(coco_json) as f:
         coco = json.load(f)
     cat_map = {}
@@ -139,7 +145,7 @@ def parse_publaynet(
         if name in labels:
             cat_map[c["id"]] = labels.index(name)
     images = {im["id"]: im for im in coco["images"]}
-    by_image: Dict[int, list] = {}
+    by_image: Dict[int, list] = {im_id: [] for im_id in images}
     for a in coco["annotations"]:
         by_image.setdefault(a["image_id"], []).append(a)
 
@@ -147,25 +153,48 @@ def parse_publaynet(
     for img_id in sorted(by_image):
         im = images[img_id]
         W, H = float(im["width"]), float(im["height"])
+        if H < W:  # landscape pages skipped (`publaynet.py:46-47`)
+            continue
         boxes, cats = [], []
-        ok = True
+        # pycocotools' getAnnIds preserves file order per image — keep it
         for a in by_image[img_id]:
-            if a["category_id"] not in cat_map:
-                ok = False
-                break
             x1, y1, w, h = a["bbox"]
-            if x1 < 0 or y1 < 0 or W < x1 + w or H < y1 + h or w <= 0 or h <= 0:
-                ok = False
-                break
+            x2, y2 = x1 + w, y1 + h
+            # invalid elements are filtered, the page is kept
+            if x1 < 0 or y1 < 0 or W < x2 or H < y2 or x2 <= x1 or y2 <= y1:
+                continue
+            if a["category_id"] not in cat_map:
+                continue
             boxes.append(
                 [(x1 + w / 2) / W, (y1 + h / 2) / H, w / W, h / H]
             )
             cats.append(cat_map[a["category_id"]])
         n = len(boxes)
-        if not ok or n == 0 or n > max_seq_length:
+        if n == 0 or n > max_seq_length:
             continue
         out.append((np.asarray(boxes, np.float32), np.asarray(cats, np.int32)))
     return out
+
+
+def _seeded_permutation(n: int, seed: int = 0) -> np.ndarray:
+    """The REFERENCE's split permutation: `torch.randperm` under
+    `torch.Generator().manual_seed(seed)` (`rico.py:160-163`,
+    `publaynet.py:105-108`).  Split membership must match the reference
+    bit-for-bit so metrics computed against its released weights use the
+    same test split; numpy fallback only if torch is unavailable."""
+    try:
+        import torch
+
+        g = torch.Generator().manual_seed(seed)
+        return torch.randperm(n, generator=g).numpy()
+    except ImportError:  # pragma: no cover
+        import warnings
+
+        warnings.warn(
+            "torch unavailable: split permutation falls back to numpy and "
+            "will NOT match the reference's split membership"
+        )
+        return np.random.RandomState(seed).permutation(n)
 
 
 # ---------------------------------------------------------------------------
@@ -235,9 +264,8 @@ def load_dataset(
             raw_dir, "rico_dataset_v0.1_semantic_annotations.zip"
         )
         layouts = parse_rico(raw_zip, labels, max_seq_length)
-        # seeded shuffle + 85/5/10 (`rico.py:160-173`)
-        rng = np.random.RandomState(0)
-        idx = rng.permutation(len(layouts))
+        # the reference's seeded shuffle + 85/5/10 (`rico.py:160-173`)
+        idx = _seeded_permutation(len(layouts))
         layouts = [layouts[i] for i in idx]
         N = len(layouts)
         cuts = {
@@ -253,8 +281,10 @@ def load_dataset(
         val = parse_publaynet(
             os.path.join(raw_dir, "val.json"), labels, max_seq_length
         )
-        # 95/5 of train -> train/val; official val -> test
-        # (`publaynet.py:108-116`)
+        # seeded shuffle of train, then 95/5 -> train/val; official val ->
+        # test (`publaynet.py:105-116`)
+        idx = _seeded_permutation(len(train))
+        train = [train[i] for i in idx]
         s = int(len(train) * 0.95)
         parts = {"train": train[:s], "val": train[s:], "test": val}
     else:

@@ -23,6 +23,15 @@ REF_SRC = "/root/reference/src/trainer"
 _installed = False
 
 
+class Data:
+    """torch_geometric.data.Data stand-in (module-level so torch.save can
+    pickle instances)."""
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
 class AttrDict(dict):
     """Minimal omegaconf.DictConfig stand-in: dict + attribute access."""
 
@@ -163,15 +172,34 @@ def _make_torch_geometric():
     tg.utils = utils
 
     data_mod = types.ModuleType("torch_geometric.data")
-
-    class Data:
-        def __init__(self, **kw):
-            for k, v in kw.items():
-                setattr(self, k, v)
-
+    data_mod.__path__ = []  # package-like so submodule stubs register
     data_mod.Data = Data
     tg.data = data_mod
-    return tg, utils, data_mod
+
+    # submodules the reference's VENDORED datasets/dataset.py imports at
+    # module level; the vendored file redefines Dataset itself and the
+    # parity tests bypass collate/separate by overriding `self.collate`
+    sub = {}
+    collate_mod = types.ModuleType("torch_geometric.data.collate")
+    collate_mod.collate = lambda *a, **kw: (_ for _ in ()).throw(
+        NotImplementedError("pyg collate stub")
+    )
+    sub["collate"] = collate_mod
+    dataset_mod = types.ModuleType("torch_geometric.data.dataset")
+    dataset_mod.Dataset = object
+    dataset_mod.IndexType = object
+    sub["dataset"] = dataset_mod
+    makedirs_mod = types.ModuleType("torch_geometric.data.makedirs")
+    import os as _os
+
+    makedirs_mod.makedirs = lambda p: _os.makedirs(p, exist_ok=True)
+    sub["makedirs"] = makedirs_mod
+    separate_mod = types.ModuleType("torch_geometric.data.separate")
+    separate_mod.separate = lambda *a, **kw: (_ for _ in ()).throw(
+        NotImplementedError("pyg separate stub")
+    )
+    sub["separate"] = separate_mod
+    return tg, utils, data_mod, sub
 
 
 def _make_torchvision():
@@ -238,11 +266,16 @@ def _make_pytorch_fid():
 def _make_trainer_datasets():
     """Stub for `trainer.datasets` (the real one drags in the vendored
     torch-geometric Dataset machinery; the tokenizer only reads
-    ``DATASETS[...].labels`` and class names, `layout_tokenizer.py:53-73`)."""
+    ``DATASETS[...].labels`` and class names, `layout_tokenizer.py:53-73`).
+
+    The stub carries the real package's ``__path__`` so the GENUINE
+    submodules (`trainer.datasets.rico`, `.publaynet`, `.base`, `.dataset`)
+    remain importable for parser cross-validation tests."""
     from layoutdm_tpu.registry import DATASET_LABELS
 
     mod = types.ModuleType("trainer.datasets")
     mod._ref_shim = True
+    mod.__path__ = [f"{REF_SRC}/trainer/datasets"]
 
     class Rico25Dataset:
         name = "rico25"
@@ -271,16 +304,60 @@ def install_stubs():
         sys.modules["hydra.core"] = core
         sys.modules["hydra.core.config_store"] = cs
     if "torch_geometric" not in sys.modules:
-        tg, utils, data_mod = _make_torch_geometric()
+        tg, utils, data_mod, sub = _make_torch_geometric()
         sys.modules["torch_geometric"] = tg
         sys.modules["torch_geometric.utils"] = utils
         sys.modules["torch_geometric.data"] = data_mod
+        for name, m in sub.items():
+            sys.modules[f"torch_geometric.data.{name}"] = m
     if "torchvision" not in sys.modules:
         tv, transforms = _make_torchvision()
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = transforms
     if "prdc" not in sys.modules:
         sys.modules["prdc"] = _make_prdc()
+    if "pycocotools" not in sys.modules:
+        coco_pkg = types.ModuleType("pycocotools")
+        coco_pkg._ref_shim = True
+        coco_mod = types.ModuleType("pycocotools.coco")
+
+        class COCO:
+            """Faithful mini-COCO for the calls `publaynet.py:40-63` makes:
+            annotations kept in file order per image (pycocotools
+            createIndex semantics)."""
+
+            def __init__(self, path):
+                import json
+
+                with open(path) as f:
+                    d = json.load(f)
+                self.imgs = {im["id"]: im for im in d["images"]}
+                self.cats = {c["id"]: c for c in d["categories"]}
+                self.anns = {a["id"]: a for a in d["annotations"]}
+                self.imgToAnns = {}
+                for a in d["annotations"]:
+                    self.imgToAnns.setdefault(a["image_id"], []).append(a)
+
+            def getImgIds(self):
+                return list(self.imgs)
+
+            def loadImgs(self, ids):
+                ids = ids if isinstance(ids, (list, tuple)) else [ids]
+                return [self.imgs[i] for i in ids]
+
+            def getAnnIds(self, imgIds):
+                return [
+                    a["id"] for i in imgIds for a in self.imgToAnns.get(i, [])
+                ]
+
+            def loadAnns(self, ids):
+                ids = ids if isinstance(ids, (list, tuple)) else [ids]
+                return [self.anns[i] for i in ids]
+
+        coco_mod.COCO = COCO
+        coco_pkg.coco = coco_mod
+        sys.modules["pycocotools"] = coco_pkg
+        sys.modules["pycocotools.coco"] = coco_mod
     if "pytorch_fid" not in sys.modules:
         mod, fid_score = _make_pytorch_fid()
         sys.modules["pytorch_fid"] = mod
