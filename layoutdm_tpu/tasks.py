@@ -72,19 +72,16 @@ def get_cond(
         keep = jnp.repeat(keep_e, C, axis=1)
         if has_bos:
             # order-sensitive models: shift kept tokens to the front
-            # (`task.py:79-89`); host-side compaction
-            keep_np = np.concatenate(
-                [np.ones((B, 1), bool), np.asarray(keep)], axis=1
+            # (`task.py:79-89`) — one stable argsort-partition, no host loop
+            keep_full = jnp.concatenate(
+                [jnp.ones((B, 1), bool), keep], axis=1
             )
-            seq_np = np.asarray(cond["seq"])
-            new_seq = np.full_like(seq_np, mask_id)
-            new_mask = np.zeros_like(keep_np)
-            for i in range(B):
-                kept = seq_np[i][keep_np[i]]
-                new_seq[i, : len(kept)] = kept
-                new_mask[i, : len(kept)] = True
-            cond["seq"] = jnp.asarray(new_seq)
-            cond["mask"] = jnp.asarray(new_mask)
+            order = jnp.argsort(~keep_full, axis=1, stable=True)
+            compacted = jnp.take_along_axis(cond["seq"], order, axis=1)
+            counts = keep_full.sum(axis=1, keepdims=True)
+            new_mask = jnp.arange(keep_full.shape[1])[None, :] < counts
+            cond["seq"] = jnp.where(new_mask, compacted, mask_id)
+            cond["mask"] = new_mask
         else:
             cond["seq"] = jnp.where(keep, cond["seq"], mask_id)
             cond["mask"] = keep

@@ -142,3 +142,32 @@ def test_element_transformer_module(rng):
     out = net.apply({"params": params}, label, bbox)
     assert out["label"].shape == (2, 6, 5)
     assert out["bbox"].shape == (2, 6, 4, 8)
+
+
+def test_cond_partial_bos_compaction(rng):
+    """BOS models (`task.py:79-89`): kept tokens are shifted to the front in
+    ORIGINAL order, the tail is MASK, and the cond mask marks exactly the
+    compacted prefix (vectorized path, no host loop)."""
+    tok_bos = make_tokenizer(
+        shared_vocab="xywh",
+        special=("pad", "bos", "eos", "mask"),
+        num_categories=4,
+        max_elements=4,
+    )
+    layout = random_layout(rng, B=3, S=4, n_cat=4)
+    cond = get_cond(jax.random.PRNGKey(3), layout, tok_bos, "partial")
+    seq = np.asarray(cond["seq"])
+    mask = np.asarray(cond["mask"])
+    mask_id, bos_id = tok_bos.name_to_id("mask"), tok_bos.name_to_id("bos")
+    full = np.asarray(tok_bos.encode(layout)["seq"])
+
+    for b in range(3):
+        n = int(mask[b].sum())
+        assert n >= 1 and bool(mask[b, :n].all()) and not mask[b, n:].any()
+        assert seq[b, 0] == bos_id
+        # tail is MASK
+        assert (seq[b, n:] == mask_id).all()
+        # the compacted prefix is a subsequence of the full encoding
+        # (original order preserved)
+        it = iter(full[b])
+        assert all(any(tokv == x for x in it) for tokv in seq[b, :n])
