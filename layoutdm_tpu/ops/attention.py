@@ -47,12 +47,20 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[:] = o.astype(o_ref.dtype)
 
 
+def _auto_heads_per_block(S: int, hd: int, itemsize: int) -> int:
+    """Largest head-group whose working set (q/k/v/o blocks + f32 score and
+    prob matrices) fits comfortably in the ~16MB scoped VMEM."""
+    budget = 10 * 2**20
+    per_head = 4 * S * hd * itemsize + 2 * S * S * 4
+    return max(1, min(32, budget // per_head))
+
+
 @functools.partial(jax.jit, static_argnames=("heads_per_block", "interpret"))
 def fused_attention(
     q: jnp.ndarray,  # (B, S, H, hd)
     k: jnp.ndarray,
     v: jnp.ndarray,
-    heads_per_block: int = 32,
+    heads_per_block: int = 0,  # 0 = auto-size to VMEM
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Softmax(q k^T / sqrt(hd)) v, fused on-chip.  Returns (B, S, H, hd)."""
@@ -64,6 +72,8 @@ def fused_attention(
         return x.transpose(0, 2, 1, 3).reshape(BH, S, hd)
 
     qf, kf, vf = flat(q), flat(k), flat(v)
+    if not heads_per_block:
+        heads_per_block = _auto_heads_per_block(S, hd, q.dtype.itemsize)
     G = min(heads_per_block, BH)
     while BH % G:
         G -= 1
@@ -79,24 +89,32 @@ def fused_attention(
     return out.reshape(B, H, S, hd).transpose(0, 2, 1, 3)
 
 
-def can_use_fused(S: int, mask, key_padding_mask) -> bool:
-    """Gate for the fused kernel — OPT-IN via LAYOUTDM_TPU_FUSED_ATTN=1.
+# Measured end-to-end denoiser-forward crossover (v5e, bf16, d=464/L4,
+# `bin/bench_attention.py`, chained-scan timing):
+#   S=125 B=1024: xla 42.3 / fused 49.4 ms  -> xla
+#   S=250 B=512 : xla 46.6 / fused 49.3 ms  -> xla
+#   S=500 B=256 : xla 59.8 / fused 52.9 ms  -> FUSED (1.13x)
+# Below the crossover the (B,S,H,hd)->(BH,S,hd) layout change + the custom
+# call acting as an XLA fusion barrier cost more than the fusion saves; at
+# S>=~500 (PubLayNet max100 scale) the O(S^2) HBM score traffic dominates
+# and the kernel wins.
+FUSED_MIN_S = 256
 
-    Measured at the flagship shape: the kernel beats XLA's attention in
-    isolation (8.0 vs 10.0 ms) but loses inside the full denoiser (51.6 vs
-    43.7 ms/fwd) because the (B,S,H,hd)->(BH,S,hd) layout change around the
-    custom call costs more HBM traffic than the fusion saves, and the
-    custom call is a fusion barrier for XLA.  Kept for larger-S configs and
-    future autotuning; the default path lets XLA fuse.
-    """
+
+def can_use_fused(S: int, mask, key_padding_mask) -> bool:
+    """Autotuned gate: fused kernel on by default past the measured S
+    crossover; LAYOUTDM_TPU_FUSED_ATTN=1/0 forces it on/off."""
     import os
 
-    if os.environ.get("LAYOUTDM_TPU_FUSED_ATTN") != "1":
+    force = os.environ.get("LAYOUTDM_TPU_FUSED_ATTN")
+    if force == "0":
         return False
     if not HAS_PALLAS:
         return False
     if mask is not None or key_padding_mask is not None:
         return False
-    if S > 512:
+    if jax.default_backend() != "tpu":
         return False
-    return jax.default_backend() == "tpu"
+    if force == "1":
+        return True
+    return S > FUSED_MIN_S

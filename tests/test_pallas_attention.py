@@ -39,3 +39,36 @@ def test_can_use_fused_gates():
     assert not can_use_fused(125, None, jnp.zeros((2, 4), bool))
     # CPU backend in tests -> False
     assert not can_use_fused(125, None, None)
+
+
+def test_gate_autotuned_on_sequence_length(monkeypatch):
+    """Fused kernel default-on past the measured crossover, forceable both
+    ways via LAYOUTDM_TPU_FUSED_ATTN."""
+    import jax
+
+    from layoutdm_tpu.ops import attention as A
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("LAYOUTDM_TPU_FUSED_ATTN", raising=False)
+    if not A.HAS_PALLAS:
+        import pytest
+
+        pytest.skip("pallas unavailable")
+    assert not A.can_use_fused(125, None, None)   # Rico: xla wins
+    assert not A.can_use_fused(250, None, None)   # still xla
+    assert A.can_use_fused(500, None, None)       # PubLayNet-scale: fused
+    monkeypatch.setenv("LAYOUTDM_TPU_FUSED_ATTN", "1")
+    assert A.can_use_fused(125, None, None)
+    monkeypatch.setenv("LAYOUTDM_TPU_FUSED_ATTN", "0")
+    assert not A.can_use_fused(500, None, None)
+
+
+def test_auto_heads_per_block_fits_vmem():
+    from layoutdm_tpu.ops.attention import _auto_heads_per_block
+
+    for S in (125, 250, 500, 1000):
+        g = _auto_heads_per_block(S, 58, 2)
+        assert g >= 1
+        # working set within the 16MB scoped-vmem limit
+        assert g * (4 * S * 58 * 2 + 2 * S * S * 4) <= 12 * 2**20
+    assert _auto_heads_per_block(125, 58, 2) > _auto_heads_per_block(500, 58, 2)
