@@ -79,26 +79,33 @@ def flops_per_layout(model, num_timesteps=100):
     return num_timesteps * (denoiser + routes)
 
 
-def measure_gemm_ceiling(batch, model, dtype=jnp.bfloat16):
+def measure_gemm_ceiling(batch, model, dtype=jnp.bfloat16, n_iters=30):
     """Measured TFLOP/s of the sampler's dominant GEMM shape on this chip:
     (B*S, d) x (d, ff) in bf16 — an honest per-shape roofline, not the
-    datasheet peak."""
+    datasheet peak.
+
+    Timed as ONE jitted scan of n_iters data-dependent GEMMs ending in a
+    scalar fetch: the remote-TPU path queues small dispatches asynchronously
+    and `block_until_ready` can return early, so per-dispatch host timing
+    under-reads (docs/DESIGN.md §6 caveat)."""
     bb = model.backbone_cfg
     m, k, n = batch * model.seq_len, bb.d_model, bb.dim_feedforward
     a = jnp.ones((m, k), dtype)
     b = jnp.ones((k, n), dtype)
 
     @jax.jit
-    def gemm(a, b):
-        return a @ b
+    def loop(a, b):
+        def body(a, _):
+            out = a @ b  # (m, n)
+            # data dependence into the next step; rescale to stay finite
+            return (out[:, :k] * (1.0 / k)).astype(dtype), None
 
-    gemm(a, b).block_until_ready()
-    n_iters = 20
+        a, _ = jax.lax.scan(body, a, None, length=n_iters)
+        return jnp.sum(a[0].astype(jnp.float32))
+
+    float(loop(a, b))  # compile + warm
     t0 = time.perf_counter()
-    out = None
-    for _ in range(n_iters):
-        out = gemm(a, b)
-    out.block_until_ready()
+    float(loop(a, b))
     dt = time.perf_counter() - t0
     return 2.0 * m * k * n * n_iters / dt / 1e12
 
@@ -131,7 +138,9 @@ def main():
     t0 = time.perf_counter()
     for i in range(n_runs):
         ids = fn(jax.random.PRNGKey(2 + i), batch)
-    ids.block_until_ready()
+    # scalar fetch forces a REAL sync (block_until_ready alone can return
+    # early on the remote-TPU path — docs/DESIGN.md §6 caveat)
+    int(jnp.sum(ids))
     dt = time.perf_counter() - t0
 
     layouts_per_sec = batch * n_runs / dt

@@ -83,11 +83,8 @@ def main():
         t = jnp.zeros((B,), jnp.int32)
 
         ms = {}
-        for mode, env in (("xla", None), ("fused", "1")):
-            if env is None:
-                os.environ.pop("LAYOUTDM_TPU_FUSED_ATTN", None)
-            else:
-                os.environ["LAYOUTDM_TPU_FUSED_ATTN"] = env
+        for mode, env in (("xla", "0"), ("fused", "1")):
+            os.environ["LAYOUTDM_TPU_FUSED_ATTN"] = env
             try:
                 ms[mode] = time_forward(net, params, seq, t)
             except Exception as e:

@@ -169,21 +169,27 @@ class SelfAttention(nn.Module):
         assert D % H == 0, f"d_model {D} not divisible by nhead {H}"
         hd = D // H
         qkv = nn.Dense(3 * D, name="qkv", dtype=self.dtype)(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, S, H, hd)
-        k = k.reshape(B, S, H, hd)
-        v = v.reshape(B, S, H, hd)
 
-        from layoutdm_tpu.ops.attention import can_use_fused, fused_attention
+        from layoutdm_tpu.ops.attention import (
+            can_use_fused,
+            fused_attention_qkv,
+        )
 
         use_fused = (
             can_use_fused(S, mask, key_padding_mask)
             and (self.dropout == 0.0 or deterministic)
         )
         if use_fused:
-            out = fused_attention(q, k, v).reshape(B, S, D)
+            # the packed (B, S, 3D) projection output feeds the kernel
+            # directly — q/k/v never exist as separate HBM buffers and no
+            # head reshape/transpose surrounds the custom call
+            out = fused_attention_qkv(qkv, num_heads=H)
             return nn.Dense(D, name="out", dtype=self.dtype)(out)
 
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, S, H, hd)
+        k = k.reshape(B, S, H, hd)
+        v = v.reshape(B, S, H, hd)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
         if mask is not None:
             scores = scores + mask[None, None].astype(scores.dtype)

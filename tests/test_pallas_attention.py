@@ -54,11 +54,10 @@ def test_gate_autotuned_on_sequence_length(monkeypatch):
         import pytest
 
         pytest.skip("pallas unavailable")
-    assert not A.can_use_fused(125, None, None)   # Rico: xla wins
-    assert not A.can_use_fused(250, None, None)   # still xla
-    assert A.can_use_fused(500, None, None)       # PubLayNet-scale: fused
-    monkeypatch.setenv("LAYOUTDM_TPU_FUSED_ATTN", "1")
+    # packed-qkv kernel never loses (ties at S=125) -> default ON
     assert A.can_use_fused(125, None, None)
+    assert A.can_use_fused(250, None, None)
+    assert A.can_use_fused(500, None, None)
     monkeypatch.setenv("LAYOUTDM_TPU_FUSED_ATTN", "0")
     assert not A.can_use_fused(500, None, None)
 
@@ -72,3 +71,40 @@ def test_auto_heads_per_block_fits_vmem():
         # working set within the 16MB scoped-vmem limit
         assert g * (4 * S * 58 * 2 + 2 * S * S * 4) <= 12 * 2**20
     assert _auto_heads_per_block(125, 58, 2) > _auto_heads_per_block(500, 58, 2)
+
+
+def test_fused_attention_native_and_qkv_interpret(rng):
+    """The layout-preserving kernels match the einsum reference (interpret
+    mode runs on CPU)."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from layoutdm_tpu.ops.attention import (
+        HAS_PALLAS,
+        fused_attention_native,
+        fused_attention_qkv,
+    )
+
+    if not HAS_PALLAS:
+        pytest.skip("pallas unavailable")
+    B, S, H, hd = 2, 25, 4, 16
+    D = H * hd
+    qkv = rng.randn(B, S, 3 * D).astype(np.float32)
+    q, k, v = np.split(qkv, 3, axis=-1)
+    q4, k4, v4 = [x.reshape(B, S, H, hd) for x in (q, k, v)]
+    s = jnp.einsum("bihd,bjhd->bhij", q4, k4) / math.sqrt(hd)
+    want = jnp.einsum(
+        "bhij,bjhd->bihd", jax.nn.softmax(s, -1), jnp.asarray(v4)
+    ).reshape(B, S, D)
+
+    got_native = fused_attention_native(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), num_heads=H,
+        interpret=True,
+    )
+    np.testing.assert_allclose(got_native, want, atol=1e-4)
+    got_qkv = fused_attention_qkv(
+        jnp.asarray(qkv), num_heads=H, interpret=True
+    )
+    np.testing.assert_allclose(got_qkv, want, atol=1e-4)
