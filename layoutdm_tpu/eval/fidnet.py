@@ -213,3 +213,227 @@ def load_fidnet_v3(
         with open(flax_path, "rb") as f:
             return model, serialization.from_bytes(template, f.read())
     return load_torch_fidnet(torch_path, num_labels, max_bbox)
+
+
+# ---------------------------------------------------------------------------
+# legacy variants (`fid/model.py:44-120`) — kept for checkpoint
+# compatibility; V3 is what the eval pipeline uses
+# ---------------------------------------------------------------------------
+
+
+class FIDNetV1(nn.Module):
+    """`fid/model.py:44-65`: 32-d label emb + 32-d bbox fc CONCATENATED
+    (label first, no fused projection), 4-layer d=64 CLS encoder."""
+
+    num_labels: int
+    d_model: int = 64
+    nhead: int = 4
+    num_layers: int = 4
+
+    def setup(self):
+        D = self.d_model
+        self.emb_label = nn.Embed(self.num_labels, D // 2)
+        self.fc_bbox = nn.Dense(D // 2)
+        self.cls_token = self.param(
+            "cls_token", nn.initializers.normal(1.0), (1, 1, D)
+        )
+        self.enc_layers = [
+            PostNormBlock(D, self.nhead, D // 2, name=f"enc{i}")
+            for i in range(self.num_layers)
+        ]
+        self.fc_out = nn.Dense(1)
+
+    def extract_features(self, bbox, label, padding_mask):
+        B = bbox.shape[0]
+        x = jnp.concatenate(
+            [self.emb_label(label), self.fc_bbox(bbox)], axis=-1
+        )
+        cls = jnp.broadcast_to(self.cls_token, (B, 1, self.d_model))
+        x = jnp.concatenate([cls, x], axis=1)
+        kpm = jnp.concatenate([jnp.zeros((B, 1), bool), padding_mask], axis=1)
+        for layer in self.enc_layers:
+            x = layer(x, kpm)
+        return x[:, 0]
+
+    def __call__(self, bbox, label, padding_mask):
+        return self.fc_out(self.extract_features(bbox, label, padding_mask))[
+            ..., 0
+        ]
+
+
+class FIDNetV2(nn.Module):
+    """`fid/model.py:68-120`: 128+128 concat (label first), 8-layer d=256
+    CLS encoder; reconstruction decoder prepends the feature to learned
+    positional tokens."""
+
+    num_labels: int
+    d_model: int = 256
+    nhead: int = 4
+    num_layers: int = 8
+    max_bbox: int = 50
+
+    def setup(self):
+        D = self.d_model
+        self.emb_label = nn.Embed(self.num_labels, D // 2)
+        self.fc_bbox = nn.Dense(D // 2)
+        self.cls_token = self.param(
+            "cls_token", nn.initializers.normal(1.0), (1, 1, D)
+        )
+        self.enc_layers = [
+            PostNormBlock(D, self.nhead, D // 2, name=f"enc{i}")
+            for i in range(self.num_layers)
+        ]
+        # fc_out Sequential: Linear-BN-ReLU-Linear-BN-ReLU-Linear
+        self.fc_out_1 = nn.Dense(D // 2)
+        self.bn_1 = nn.BatchNorm(use_running_average=True)
+        self.fc_out_2 = nn.Dense(D // 4)
+        self.bn_2 = nn.BatchNorm(use_running_average=True)
+        self.fc_out_3 = nn.Dense(1)
+        self.pos_token = self.param(
+            "pos_token", nn.initializers.uniform(1.0), (self.max_bbox, 1, D)
+        )
+        self.dec_layers = [
+            PostNormBlock(D, self.nhead, D // 2, name=f"dec{i}")
+            for i in range(self.num_layers)
+        ]
+        self.fc_out_cls = nn.Dense(self.num_labels)
+        self.fc_out_bbox = nn.Dense(4)
+
+    def extract_features(self, bbox, label, padding_mask):
+        B = bbox.shape[0]
+        x = jnp.concatenate(
+            [self.emb_label(label), self.fc_bbox(bbox)], axis=-1
+        )
+        cls = jnp.broadcast_to(self.cls_token, (B, 1, self.d_model))
+        x = jnp.concatenate([cls, x], axis=1)
+        kpm = jnp.concatenate([jnp.zeros((B, 1), bool), padding_mask], axis=1)
+        for layer in self.enc_layers:
+            x = layer(x, kpm)
+        return x[:, 0]
+
+    def __call__(self, bbox, label, padding_mask):
+        B, N, _ = bbox.shape
+        feat = self.extract_features(bbox, label, padding_mask)
+        h = jax.nn.relu(self.bn_1(self.fc_out_1(feat)))
+        h = jax.nn.relu(self.bn_2(self.fc_out_2(h)))
+        logit = self.fc_out_3(h)[..., 0]
+
+        t = jnp.broadcast_to(self.pos_token[:N, 0][None], (B, N, self.d_model))
+        x = jnp.concatenate([feat[:, None, :], t], axis=1)
+        kpm = jnp.concatenate([jnp.zeros((B, 1), bool), padding_mask], axis=1)
+        for layer in self.dec_layers:
+            x = layer(x, kpm)
+        x = x[:, 1:]
+        return logit, self.fc_out_cls(x), jax.nn.sigmoid(self.fc_out_bbox(x))
+
+
+def load_torch_fidnet_v1(path: str, num_labels: int):
+    """Port a torch FIDNet (V1) state dict into `FIDNetV1` params."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    g = lambda k: np.asarray(sd[k].detach().numpy())
+
+    def dense(prefix):
+        return {"kernel": g(f"{prefix}.weight").T, "bias": g(f"{prefix}.bias")}
+
+    def block(tprefix):
+        return {
+            "qkv": {
+                "kernel": g(f"{tprefix}.self_attn.in_proj_weight").T,
+                "bias": g(f"{tprefix}.self_attn.in_proj_bias"),
+            },
+            "out": dense(f"{tprefix}.self_attn.out_proj"),
+            "linear1": dense(f"{tprefix}.linear1"),
+            "linear2": dense(f"{tprefix}.linear2"),
+            "norm1": {
+                "scale": g(f"{tprefix}.norm1.weight"),
+                "bias": g(f"{tprefix}.norm1.bias"),
+            },
+            "norm2": {
+                "scale": g(f"{tprefix}.norm2.weight"),
+                "bias": g(f"{tprefix}.norm2.bias"),
+            },
+        }
+
+    params = {
+        "emb_label": {"embedding": g("emb_label.weight")},
+        "fc_bbox": dense("fc_bbox"),
+        "cls_token": g("transformer.token").transpose(1, 0, 2),
+        "fc_out": dense("fc_out"),
+    }
+    for i in range(4):
+        params[f"enc{i}"] = block(f"transformer.core.layers.{i}")
+    model = FIDNetV1(num_labels=num_labels)
+    return model, jax.tree.map(jnp.asarray, params)
+
+
+def load_torch_fidnet_v2(path: str, num_labels: int, max_bbox: int = 50):
+    """Port a torch FIDNetV2 state dict into `FIDNetV2` params."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    g = lambda k: np.asarray(sd[k].detach().numpy())
+
+    def dense(prefix):
+        return {"kernel": g(f"{prefix}.weight").T, "bias": g(f"{prefix}.bias")}
+
+    def bn(prefix):
+        return (
+            {"scale": g(f"{prefix}.weight"), "bias": g(f"{prefix}.bias")},
+            {
+                "mean": g(f"{prefix}.running_mean"),
+                "var": g(f"{prefix}.running_var"),
+            },
+        )
+
+    def block(tprefix):
+        return {
+            "qkv": {
+                "kernel": g(f"{tprefix}.self_attn.in_proj_weight").T,
+                "bias": g(f"{tprefix}.self_attn.in_proj_bias"),
+            },
+            "out": dense(f"{tprefix}.self_attn.out_proj"),
+            "linear1": dense(f"{tprefix}.linear1"),
+            "linear2": dense(f"{tprefix}.linear2"),
+            "norm1": {
+                "scale": g(f"{tprefix}.norm1.weight"),
+                "bias": g(f"{tprefix}.norm1.bias"),
+            },
+            "norm2": {
+                "scale": g(f"{tprefix}.norm2.weight"),
+                "bias": g(f"{tprefix}.norm2.bias"),
+            },
+        }
+
+    bn1_p, bn1_s = bn("fc_out.1")
+    bn2_p, bn2_s = bn("fc_out.4")
+    params = {
+        "emb_label": {"embedding": g("emb_label.weight")},
+        "fc_bbox": dense("fc_bbox"),
+        "cls_token": g("encoder.token").transpose(1, 0, 2),
+        "fc_out_1": dense("fc_out.0"),
+        "bn_1": bn1_p,
+        "fc_out_2": dense("fc_out.3"),
+        "bn_2": bn2_p,
+        "fc_out_3": dense("fc_out.6"),
+        "pos_token": g("token"),
+        "fc_out_cls": dense("fc_out_cls"),
+        "fc_out_bbox": dense("fc_out_bbox"),
+    }
+    for i in range(8):
+        params[f"enc{i}"] = block(f"encoder.core.layers.{i}")
+        params[f"dec{i}"] = block(f"decoder.layers.{i}")
+    model = FIDNetV2(num_labels=num_labels, max_bbox=max_bbox)
+    variables = {
+        "params": jax.tree.map(jnp.asarray, params),
+        "batch_stats": {
+            "bn_1": jax.tree.map(jnp.asarray, bn1_s),
+            "bn_2": jax.tree.map(jnp.asarray, bn2_s),
+        },
+    }
+    return model, variables

@@ -553,3 +553,80 @@ def test_fidnet_parity_vs_reference(tmp_path, rng):
         ).numpy()
     got = np.asarray(extract(jnp.asarray(bbox), jnp.asarray(label), jnp.asarray(mask)))
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_fidnet_v1_parity_vs_reference(tmp_path, rng):
+    from trainer.fid.model import FIDNet as RefV1
+
+    from layoutdm_tpu.eval.fidnet import load_torch_fidnet_v1
+
+    L, S, B = 25, 20, 3
+    torch.manual_seed(1)
+    ref = RefV1(num_label=L).eval()
+    path = tmp_path / "v1.pth.tar"
+    torch.save({"state_dict": ref.state_dict()}, path)
+    model, params = load_torch_fidnet_v1(str(path), L)
+
+    n = rng.randint(1, S + 1, size=(B,))
+    mask = np.arange(S)[None, :] < n[:, None]
+    bbox = rng.rand(B, S, 4).astype(np.float32) * mask[..., None]
+    label = (rng.randint(0, L, size=(B, S)) * mask).astype(np.int64)
+
+    with torch.no_grad():
+        feat_w = ref.extract_features(
+            torch.from_numpy(bbox), torch.from_numpy(label),
+            torch.from_numpy(~mask),
+        ).numpy()
+        logit_w = ref(
+            torch.from_numpy(bbox), torch.from_numpy(label),
+            torch.from_numpy(~mask),
+        ).numpy()
+    feat_g = model.apply(
+        {"params": params}, jnp.asarray(bbox), jnp.asarray(label),
+        jnp.asarray(~mask), method=model.extract_features,
+    )
+    logit_g = model.apply(
+        {"params": params}, jnp.asarray(bbox), jnp.asarray(label),
+        jnp.asarray(~mask),
+    )
+    np.testing.assert_allclose(np.asarray(feat_g), feat_w, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(logit_g), logit_w, atol=2e-4)
+
+
+def test_fidnet_v2_parity_vs_reference(tmp_path, rng):
+    from trainer.fid.model import FIDNetV2 as RefV2
+
+    from layoutdm_tpu.eval.fidnet import load_torch_fidnet_v2
+
+    L, S, B = 25, 20, 3
+    torch.manual_seed(2)
+    ref = RefV2(num_label=L, max_bbox=S).eval()
+    path = tmp_path / "v2.pth.tar"
+    torch.save({"state_dict": ref.state_dict()}, path)
+    model, variables = load_torch_fidnet_v2(str(path), L, max_bbox=S)
+
+    n = rng.randint(1, S + 1, size=(B,))
+    mask = np.arange(S)[None, :] < n[:, None]
+    bbox = rng.rand(B, S, 4).astype(np.float32) * mask[..., None]
+    label = (rng.randint(0, L, size=(B, S)) * mask).astype(np.int64)
+
+    with torch.no_grad():
+        feat_w = ref.extract_features(
+            torch.from_numpy(bbox), torch.from_numpy(label),
+            torch.from_numpy(~mask),
+        ).numpy()
+        logit_w, cls_w, bbox_w = ref(
+            torch.from_numpy(bbox), torch.from_numpy(label),
+            torch.from_numpy(~mask),
+        )
+    feat_g = model.apply(
+        variables, jnp.asarray(bbox), jnp.asarray(label), jnp.asarray(~mask),
+        method=model.extract_features,
+    )
+    logit_g, cls_g, bbox_g = model.apply(
+        variables, jnp.asarray(bbox), jnp.asarray(label), jnp.asarray(~mask)
+    )
+    np.testing.assert_allclose(np.asarray(feat_g), feat_w.numpy() if hasattr(feat_w, "numpy") else feat_w, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(logit_g), logit_w.numpy(), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(cls_g), cls_w.numpy(), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(bbox_g), bbox_w.numpy(), atol=3e-4)
