@@ -34,13 +34,17 @@ EXPECTED_RAW = {
 
 
 def _sha256(path: str, max_bytes: int = 1 << 26) -> str:
+    """Fingerprint of the first max_bytes (full multi-GB archives would add
+    seconds of pointless IO; the prefix is plenty to detect a swap)."""
     h = hashlib.sha256()
+    read = 0
     with open(path, "rb") as f:
-        while True:
-            chunk = f.read(1 << 20)
+        while read < max_bytes:
+            chunk = f.read(min(1 << 20, max_bytes - read))
             if not chunk:
                 break
             h.update(chunk)
+            read += len(chunk)
     return h.hexdigest()[:16]
 
 

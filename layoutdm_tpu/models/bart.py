@@ -99,9 +99,17 @@ class BART:
         r_task, r_cond, r_perm = jax.random.split(rng, 3)
 
         data = self.tokenizer.encode(batch)
-        task = self.tasks[
-            int(jax.random.randint(r_task, (), 0, len(self.tasks)))
-        ]
+        if len(self.tasks) == 1:
+            task = self.tasks[0]
+        else:
+            # host-side RandomState seeded ONCE from the first key (a single
+            # sync at step 0) — per-batch task choice must not block the
+            # host on the device queue every step
+            if getattr(self, "_task_rng", None) is None:
+                self._task_rng = np.random.RandomState(
+                    int(jax.random.randint(r_task, (), 0, 2**31 - 1))
+                )
+            task = self.tasks[self._task_rng.randint(0, len(self.tasks))]
         if task == "unconditional":
             inp = data["seq"].at[:, 1:].set(self.mask_id)
         else:

@@ -165,22 +165,27 @@ class VanillaQ:
         out = self.q_pred(q, t - 1) + log_qt1 + lse
         return jnp.clip(out, -70.0, 0.0)
 
-    def q_sample(
+    def _q_sample_ids(
         self, rng: jax.Array, log_x_start: jnp.ndarray, t: jnp.ndarray
     ) -> jnp.ndarray:
-        """Sample x_t ~ q(x_t|x_0) via Gumbel-argmax; returns log one-hot
+        """Sample x_t ~ q(x_t|x_0) via Gumbel-argmax; returns ids
         (`vanilla.py:153-158`, `base.py:167-174`)."""
         logits = self.q_pred(log_x_start, t)
         noise = gumbel_noise(rng, logits.shape, logits.dtype)
-        ids = jnp.argmax(logits + noise, axis=-1)
-        return log_onehot(ids, self.num_classes)
+        return jnp.argmax(logits + noise, axis=-1)
+
+    def q_sample(
+        self, rng: jax.Array, log_x_start: jnp.ndarray, t: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Like `_q_sample_ids` but returns the log one-hot."""
+        return log_onehot(
+            self._q_sample_ids(rng, log_x_start, t), self.num_classes
+        )
 
     def corrupt(self, rng: jax.Array, seq: jnp.ndarray, t: jnp.ndarray):
         """Clean ids (B, S) -> (log_xt, xt_ids); same interface as
         `ConstrainedQ.corrupt` so the training loss is q-agnostic.  The
         one-hot output is lazily dead-code-eliminated when callers use only
         the ids (the ids-specialized loss path)."""
-        logits = self.q_pred(log_onehot(seq, self.num_classes), t)
-        noise = gumbel_noise(rng, logits.shape, logits.dtype)
-        ids = jnp.argmax(logits + noise, axis=-1)
+        ids = self._q_sample_ids(rng, log_onehot(seq, self.num_classes), t)
         return log_onehot(ids, self.num_classes), ids

@@ -175,9 +175,14 @@ class SelfAttention(nn.Module):
             fused_attention_qkv,
         )
 
+        # fused path ONLY when deterministic: (a) attention dropout needs
+        # the XLA path, and (b) training differentiates through attention
+        # and pallas_call has no reverse-mode AD rule — the deterministic
+        # flag cleanly separates the compiled samplers/eval (fused) from
+        # jax.grad-wrapped training (XLA)
         use_fused = (
-            can_use_fused(S, mask, key_padding_mask)
-            and (self.dropout == 0.0 or deterministic)
+            can_use_fused(S, mask, key_padding_mask, d_model=D)
+            and deterministic
         )
         if use_fused:
             # the packed (B, S, 3D) projection output feeds the kernel

@@ -28,55 +28,13 @@ except Exception:  # pragma: no cover
     HAS_PALLAS = False
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[:]  # (G, S, hd)
-    k = k_ref[:]
-    v = v_ref[:]
-    s = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    s = s * scale
-    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-    o = jax.lax.dot_general(
-        p, v,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[:] = o.astype(o_ref.dtype)
-
-
-def _attn_kernel_native(
-    q_ref, k_ref, v_ref, o_ref, *, scale: float, H: int, hd: int
-):
-    """Attention on the denoiser's NATIVE (B, S, D=H*hd) layout — NO
-    transpose/reshape anywhere (the host-side transpose is what made the v1
-    kernel lose end-to-end at S=125, docs/DESIGN.md §6).  Mosaic's matmul
-    supports one batch dim, so heads are a static unrolled loop slicing the
-    lane axis."""
-    for h in range(H):
-        q = q_ref[:, :, h * hd : (h + 1) * hd]  # (Gb, S, hd)
-        k = k_ref[:, :, h * hd : (h + 1) * hd]
-        v = v_ref[:, :, h * hd : (h + 1) * hd]
-        s = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (Gb, S, S)
-        p = jax.nn.softmax(s * scale, axis=-1).astype(v.dtype)
-        o = jax.lax.dot_general(
-            p, v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (Gb, S, hd)
-        o_ref[:, :, h * hd : (h + 1) * hd] = o.astype(o_ref.dtype)
-
-
 def _attn_kernel_qkv(qkv_ref, o_ref, *, scale: float, H: int, hd: int, D: int):
-    """Like `_attn_kernel_native` but takes ONE packed (Gb, S, 3D) qkv slab
-    — the projection's output feeds the kernel directly, so q/k/v never
-    exist as separate HBM buffers."""
+    """Attention on the denoiser's NATIVE packed (Gb, S, 3D) qkv slab — the
+    projection's output feeds the kernel directly, so q/k/v never exist as
+    separate HBM buffers and NO transpose/reshape surrounds the custom call
+    (the host-side transpose is what made the round-1 kernel lose
+    end-to-end at S=125, docs/DESIGN.md §6).  Mosaic's matmul supports one
+    batch dim, so heads are a static unrolled loop slicing the lane axis."""
     for h in range(H):
         q = qkv_ref[:, :, h * hd : (h + 1) * hd]
         k = qkv_ref[:, :, D + h * hd : D + (h + 1) * hd]
@@ -112,9 +70,7 @@ def fused_attention_qkv(
     hd = D // H
     scale = 1.0 / math.sqrt(hd)
     if not batch_per_block:
-        batch_per_block = _auto_batch_per_block(
-            S, 2 * D, qkv.dtype.itemsize
-        )  # in-slab 3D + out-slab D ~= 4D = 2 * 2D
+        batch_per_block = _auto_batch_per_block(S, D, qkv.dtype.itemsize)
     Gb = min(batch_per_block, B)
     while B % Gb:
         Gb -= 1
@@ -130,91 +86,26 @@ def fused_attention_qkv(
     )(qkv)
 
 
-def _auto_batch_per_block(S: int, D: int, itemsize: int) -> int:
-    """Largest batch-group whose working set fits the 16MB scoped VMEM,
-    accounting for sublane/lane padding (8/128) and Pallas's double-buffered
-    block prefetch (in/out slabs are held twice)."""
+def _vmem_per_row(S: int, d_model: int, itemsize: int) -> int:
+    """Bytes of scoped VMEM one batch row costs: double-buffered (S, 3D)
+    input and (S, D) output slabs (sublane/lane padded) plus ~3 live f32
+    (S, S) score/prob buffers.  Calibrated against observed Mosaic
+    allocations (19.9MB at S=125/Gb=16; 7MB at S=500/Gb=1)."""
     Sp = -(-S // 8) * 8
     Sl = -(-S // 128) * 128
-    Dp = -(-D // 128) * 128
-    budget = 6 * 2**20
-    per_b = 2 * 4 * Sp * Dp * itemsize + 3 * Sp * Sl * 4
-    return max(1, min(64, budget // per_b))
+    d3 = -(-(3 * d_model) // 128) * 128
+    d1 = -(-d_model // 128) * 128
+    return 2 * Sp * (d3 + d1) * itemsize + 3 * Sp * Sl * 4
 
 
-@functools.partial(
-    jax.jit, static_argnames=("num_heads", "batch_per_block", "interpret")
-)
-def fused_attention_native(
-    q: jnp.ndarray,  # (B, S, D) packed heads, D = H * hd
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    num_heads: int,
-    batch_per_block: int = 0,  # 0 = auto-size to VMEM
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Per-head softmax(q k^T / sqrt(hd)) v on packed (B, S, D) slabs;
-    returns (B, S, D)."""
-    B, S, D = q.shape
-    H = num_heads
-    hd = D // H
-    scale = 1.0 / math.sqrt(hd)
-    if not batch_per_block:
-        batch_per_block = _auto_batch_per_block(S, D, q.dtype.itemsize)
-    Gb = min(batch_per_block, B)
-    while B % Gb:
-        Gb -= 1
-    spec = pl.BlockSpec((Gb, S, D), lambda i: (i, 0, 0))
-    return pl.pallas_call(
-        functools.partial(_attn_kernel_native, scale=scale, H=H, hd=hd),
-        out_shape=jax.ShapeDtypeStruct((B, S, D), q.dtype),
-        grid=(B // Gb,),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        interpret=interpret,
-    )(q, k, v)
+_VMEM_BUDGET = 14 * 2**20  # 16MB scoped limit minus slack
 
 
-def _auto_heads_per_block(S: int, hd: int, itemsize: int) -> int:
-    """Largest head-group whose working set (q/k/v/o blocks + f32 score and
-    prob matrices) fits comfortably in the ~16MB scoped VMEM."""
-    budget = 10 * 2**20
-    per_head = 4 * S * hd * itemsize + 2 * S * S * 4
-    return max(1, min(32, budget // per_head))
-
-
-@functools.partial(jax.jit, static_argnames=("heads_per_block", "interpret"))
-def fused_attention(
-    q: jnp.ndarray,  # (B, S, H, hd)
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    heads_per_block: int = 0,  # 0 = auto-size to VMEM
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Softmax(q k^T / sqrt(hd)) v, fused on-chip.  Returns (B, S, H, hd)."""
-    B, S, H, hd = q.shape
-    scale = 1.0 / math.sqrt(hd)
-    BH = B * H
-
-    def flat(x):
-        return x.transpose(0, 2, 1, 3).reshape(BH, S, hd)
-
-    qf, kf, vf = flat(q), flat(k), flat(v)
-    if not heads_per_block:
-        heads_per_block = _auto_heads_per_block(S, hd, q.dtype.itemsize)
-    G = min(heads_per_block, BH)
-    while BH % G:
-        G -= 1
-    spec = pl.BlockSpec((G, S, hd), lambda i: (i, 0, 0))
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((BH, S, hd), q.dtype),
-        grid=(BH // G,),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        interpret=interpret,
-    )(qf, kf, vf)
-    return out.reshape(B, H, S, hd).transpose(0, 2, 1, 3)
+def _auto_batch_per_block(S: int, d_model: int, itemsize: int) -> int:
+    """Largest batch-group whose working set fits the scoped VMEM."""
+    return max(
+        1, min(64, _VMEM_BUDGET // _vmem_per_row(S, d_model, itemsize))
+    )
 
 
 # Measured end-to-end denoiser forward (v5e, bf16, d=464/L4,
@@ -232,10 +123,17 @@ def fused_attention(
 FUSED_MIN_S = 0
 
 
-def can_use_fused(S: int, mask, key_padding_mask) -> bool:
+def fits_vmem(S: int, d_model: int, itemsize: int = 2) -> bool:
+    """True when even a single-row block's working set fits the scoped
+    VMEM — beyond this the kernel cannot compile and the XLA path must
+    serve (the old gate's blanket S>512 cutoff, made exact)."""
+    return _vmem_per_row(S, d_model, itemsize) <= _VMEM_BUDGET
+
+
+def can_use_fused(S: int, mask, key_padding_mask, d_model: int = 0) -> bool:
     """Gate: fused packed-qkv kernel on by default wherever it applies
-    (mask-free dense attention on TPU); LAYOUTDM_TPU_FUSED_ATTN=1/0
-    forces it on/off."""
+    (mask-free dense attention on TPU, shapes that fit VMEM);
+    LAYOUTDM_TPU_FUSED_ATTN=1/0 forces it on/off."""
     import os
 
     force = os.environ.get("LAYOUTDM_TPU_FUSED_ATTN")
@@ -244,6 +142,8 @@ def can_use_fused(S: int, mask, key_padding_mask) -> bool:
     if not HAS_PALLAS:
         return False
     if mask is not None or key_padding_mask is not None:
+        return False
+    if d_model and not fits_vmem(S, d_model):
         return False
     if jax.default_backend() != "tpu":
         return False

@@ -1,110 +1,101 @@
-"""Fused pallas attention vs the XLA reference path (interpret mode on CPU)."""
+"""Fused packed-qkv attention kernel: correctness (interpret mode on CPU),
+gate semantics, and VMEM block sizing."""
 
-import jax
-import jax.numpy as jnp
+import math
+
 import numpy as np
 import pytest
 
-from layoutdm_tpu.ops.attention import HAS_PALLAS, fused_attention
+import jax
+import jax.numpy as jnp
+
+from layoutdm_tpu.ops.attention import (
+    HAS_PALLAS,
+    _auto_batch_per_block,
+    can_use_fused,
+    fits_vmem,
+    fused_attention_qkv,
+)
 
 
-@pytest.mark.skipif(not HAS_PALLAS, reason="pallas unavailable")
-def test_fused_attention_matches_xla(rng):
-    B, S, H, hd = 2, 10, 2, 8
-    q = jnp.asarray(rng.randn(B, S, H, hd), jnp.float32)
-    k = jnp.asarray(rng.randn(B, S, H, hd), jnp.float32)
-    v = jnp.asarray(rng.randn(B, S, H, hd), jnp.float32)
-
-    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
-    want = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(s, -1), v)
-
-    got = fused_attention(q, k, v, heads_per_block=2, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
-
-
-@pytest.mark.skipif(not HAS_PALLAS, reason="pallas unavailable")
-def test_fused_attention_block_divisor(rng):
-    # BH not divisible by requested block: falls back to a valid divisor
-    B, S, H, hd = 3, 6, 1, 4
-    q = jnp.asarray(rng.randn(B, S, H, hd), jnp.float32)
-    got = fused_attention(q, q, q, heads_per_block=2, interpret=True)
-    assert got.shape == (B, S, H, hd)
-
-
-def test_can_use_fused_gates():
-    from layoutdm_tpu.ops.attention import can_use_fused
-
-    # masks always force the XLA path
-    assert not can_use_fused(125, jnp.zeros((4, 4)), None)
-    assert not can_use_fused(125, None, jnp.zeros((2, 4), bool))
-    # CPU backend in tests -> False
-    assert not can_use_fused(125, None, None)
-
-
-def test_gate_autotuned_on_sequence_length(monkeypatch):
-    """Fused kernel default-on past the measured crossover, forceable both
-    ways via LAYOUTDM_TPU_FUSED_ATTN."""
-    import jax
-
-    from layoutdm_tpu.ops import attention as A
-
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    monkeypatch.delenv("LAYOUTDM_TPU_FUSED_ATTN", raising=False)
-    if not A.HAS_PALLAS:
-        import pytest
-
-        pytest.skip("pallas unavailable")
-    # packed-qkv kernel never loses (ties at S=125) -> default ON
-    assert A.can_use_fused(125, None, None)
-    assert A.can_use_fused(250, None, None)
-    assert A.can_use_fused(500, None, None)
-    monkeypatch.setenv("LAYOUTDM_TPU_FUSED_ATTN", "0")
-    assert not A.can_use_fused(500, None, None)
-
-
-def test_auto_heads_per_block_fits_vmem():
-    from layoutdm_tpu.ops.attention import _auto_heads_per_block
-
-    for S in (125, 250, 500, 1000):
-        g = _auto_heads_per_block(S, 58, 2)
-        assert g >= 1
-        # working set within the 16MB scoped-vmem limit
-        assert g * (4 * S * 58 * 2 + 2 * S * S * 4) <= 12 * 2**20
-    assert _auto_heads_per_block(125, 58, 2) > _auto_heads_per_block(500, 58, 2)
-
-
-def test_fused_attention_native_and_qkv_interpret(rng):
-    """The layout-preserving kernels match the einsum reference (interpret
-    mode runs on CPU)."""
-    import math
-
-    import jax
-    import jax.numpy as jnp
-
-    from layoutdm_tpu.ops.attention import (
-        HAS_PALLAS,
-        fused_attention_native,
-        fused_attention_qkv,
-    )
-
-    if not HAS_PALLAS:
-        pytest.skip("pallas unavailable")
-    B, S, H, hd = 2, 25, 4, 16
-    D = H * hd
-    qkv = rng.randn(B, S, 3 * D).astype(np.float32)
+def _reference(qkv, H):
+    B, S, D3 = qkv.shape
+    D = D3 // 3
+    hd = D // H
     q, k, v = np.split(qkv, 3, axis=-1)
     q4, k4, v4 = [x.reshape(B, S, H, hd) for x in (q, k, v)]
     s = jnp.einsum("bihd,bjhd->bhij", q4, k4) / math.sqrt(hd)
-    want = jnp.einsum(
+    return jnp.einsum(
         "bhij,bjhd->bihd", jax.nn.softmax(s, -1), jnp.asarray(v4)
     ).reshape(B, S, D)
 
-    got_native = fused_attention_native(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), num_heads=H,
-        interpret=True,
+
+@pytest.mark.skipif(not HAS_PALLAS, reason="pallas unavailable")
+def test_fused_qkv_matches_reference(rng):
+    B, S, H, hd = 2, 25, 4, 16
+    qkv = rng.randn(B, S, 3 * H * hd).astype(np.float32)
+    got = fused_attention_qkv(jnp.asarray(qkv), num_heads=H, interpret=True)
+    np.testing.assert_allclose(got, _reference(qkv, H), atol=1e-4)
+
+
+@pytest.mark.skipif(not HAS_PALLAS, reason="pallas unavailable")
+def test_fused_qkv_uneven_batch_blocks(rng):
+    """B not divisible by the preferred block -> Gb shrinks to a divisor."""
+    B, S, H, hd = 6, 10, 2, 8
+    qkv = rng.randn(B, S, 3 * H * hd).astype(np.float32)
+    got = fused_attention_qkv(
+        jnp.asarray(qkv), num_heads=H, batch_per_block=4, interpret=True
     )
-    np.testing.assert_allclose(got_native, want, atol=1e-4)
-    got_qkv = fused_attention_qkv(
-        jnp.asarray(qkv), num_heads=H, interpret=True
+    np.testing.assert_allclose(got, _reference(qkv, H), atol=1e-4)
+
+
+def test_can_use_fused_gates(monkeypatch):
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("LAYOUTDM_TPU_FUSED_ATTN", raising=False)
+    if not HAS_PALLAS:
+        pytest.skip("pallas unavailable")
+    # default ON for mask-free dense attention (never worse, DESIGN §6)
+    for S in (125, 250, 500):
+        assert can_use_fused(S, None, None)
+    # masks -> XLA path
+    assert not can_use_fused(125, jnp.zeros((4, 4)), None)
+    assert not can_use_fused(125, None, jnp.zeros((2, 4), bool))
+    # env force both ways
+    monkeypatch.setenv("LAYOUTDM_TPU_FUSED_ATTN", "0")
+    assert not can_use_fused(500, None, None)
+    monkeypatch.setenv("LAYOUTDM_TPU_FUSED_ATTN", "1")
+    assert can_use_fused(125, None, None)
+
+
+def test_gate_off_on_cpu(monkeypatch):
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    monkeypatch.delenv("LAYOUTDM_TPU_FUSED_ATTN", raising=False)
+    assert not can_use_fused(125, None, None)
+
+
+def test_vmem_fit_guard(monkeypatch):
+    """Shapes whose single-row working set exceeds VMEM fall back to XLA
+    instead of failing to compile."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("LAYOUTDM_TPU_FUSED_ATTN", raising=False)
+    if not HAS_PALLAS:
+        pytest.skip("pallas unavailable")
+    assert fits_vmem(125, 464)
+    assert fits_vmem(500, 464)
+    assert not fits_vmem(4000, 464)  # score buffers alone blow VMEM
+    assert can_use_fused(500, None, None, d_model=464)
+    assert not can_use_fused(4000, None, None, d_model=464)
+
+
+def test_auto_batch_per_block_fits_vmem():
+    from layoutdm_tpu.ops.attention import _VMEM_BUDGET, _vmem_per_row
+
+    for S in (125, 250, 500, 1000):
+        g = _auto_batch_per_block(S, 464, 2)
+        assert g >= 1
+        assert g * _vmem_per_row(S, 464, 2) <= _VMEM_BUDGET or g == 1
+    assert _auto_batch_per_block(125, 464, 2) >= _auto_batch_per_block(
+        500, 464, 2
     )
-    np.testing.assert_allclose(got_qkv, want, atol=1e-4)
+    # the observed Mosaic OOM case (S=125, 16 rows ~ 20MB) is excluded
+    assert 16 * _vmem_per_row(125, 464, 2) > _VMEM_BUDGET
