@@ -134,6 +134,8 @@ class SchedulerConfig:
     warmup_epochs: int = 0
     factor: float = 0.5
     patience: int = 2
+    # reference `config/scheduler/reduce_lr_on_plateau.yaml`: threshold 1e-2
+    threshold: float = 1e-2
 
 
 @dataclass

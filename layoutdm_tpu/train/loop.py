@@ -83,6 +83,7 @@ def train(cfg: TrainConfig) -> Dict:
         warmup_epochs=cfg.scheduler.warmup_epochs,
         factor=cfg.scheduler.factor,
         patience=cfg.scheduler.patience,
+        threshold=cfg.scheduler.threshold,
         total_epochs=cfg.training.epochs,
     )
 
