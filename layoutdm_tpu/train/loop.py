@@ -104,11 +104,18 @@ def train(cfg: TrainConfig) -> Dict:
     state_path = os.path.join(job_dir, "last_state.msgpack")
     meta_path = os.path.join(job_dir, "resume.json")
     if os.path.exists(state_path) and os.path.exists(meta_path):
+        from layoutdm_tpu.train.schedulers import restore_scheduler_state
+
         state = ckpt.load_train_state(state, job_dir)
         with open(meta_path) as f:
             meta = json.load(f)
         start_epoch = meta["epoch"] + 1
         best_val = meta["best_val"]
+        # the scheduler is host state: without this, resume silently warm-
+        # restarts the LR at base
+        restore_scheduler_state(scheduler, meta.get("scheduler", {}))
+        if "lr" in meta.get("scheduler", {}):
+            state = set_learning_rate(state, meta["scheduler"]["lr"])
         logger.info("resumed from epoch %d (best_val %.4f)", start_epoch, best_val)
 
     epochs = 2 if cfg.debug else cfg.training.epochs
@@ -177,7 +184,16 @@ def train(cfg: TrainConfig) -> Dict:
                 )
             ckpt.save_train_state(state, job_dir)
             with open(meta_path, "w") as f:
-                json.dump({"epoch": epoch, "best_val": best_val}, f)
+                from layoutdm_tpu.train.schedulers import scheduler_state
+
+                json.dump(
+                    {
+                        "epoch": epoch,
+                        "best_val": best_val,
+                        "scheduler": scheduler_state(scheduler),
+                    },
+                    f,
+                )
 
             # periodic sample rendering (`main.py:128-142`)
             if (

@@ -110,3 +110,17 @@ SCHEDULERS = {
 
 def build_scheduler(name: str, base_lr: float, **kw):
     return SCHEDULERS[name](base_lr, **kw)
+
+
+def scheduler_state(sched) -> dict:
+    """Serializable host state for preemption resume (schedulers are tiny
+    host objects; without this, resume restarts the LR at base — a warm
+    restart that silently changes training dynamics)."""
+    keys = ("best", "num_bad", "lr")
+    return {k: getattr(sched, k) for k in keys if hasattr(sched, k)}
+
+
+def restore_scheduler_state(sched, state: dict) -> None:
+    for k, v in (state or {}).items():
+        if hasattr(sched, k):
+            setattr(sched, k, v)

@@ -143,3 +143,44 @@ def test_train_resume(tmp_path):
     ]
     # epochs 2,3 appended — 0,1 were NOT retrained
     assert [r["epoch"] for r in rows] == [0, 1, 2, 3]
+
+
+def test_resume_restores_scheduler_lr(tmp_path):
+    """Preemption resume continues the DECAYED learning rate — no silent
+    warm restart at base LR."""
+    import json
+
+    from layoutdm_tpu.configs import build_train_config
+    from layoutdm_tpu.train.loop import train
+
+    job_dir = str(tmp_path / "job")
+    args = [f"job_dir={job_dir}", "seed=0"]
+    cfg = build_train_config("layoutdm", "synthetic", args)
+    cfg.dataset.max_seq_length = 4
+    cfg.backbone.d_model = 64  # shrinks 29/32 -> 58, divisible by nhead
+    cfg.backbone.nhead = 2
+    cfg.backbone.dim_feedforward = 32
+    cfg.backbone.num_layers = 1
+    cfg.model.num_timesteps = 4
+    cfg.backbone.diffusion_step = 4
+    cfg.training.epochs = 3
+    cfg.training.sample_plot_epoch_interval = 0
+    cfg.data.batch_size = 64
+    cfg.scheduler.patience = 0  # decay aggressively so lr moves
+    cfg.scheduler.threshold = 0.9  # nearly always "no improvement"
+    train(cfg)
+    with open(f"{job_dir}/resume.json") as f:
+        meta = json.load(f)
+    assert meta["scheduler"]["lr"] < cfg.optimizer.lr  # decay happened
+
+    # run 2 more epochs from the checkpoint; first logged lr must continue
+    # from the decayed value, not restart at base
+    cfg.training.epochs = 5
+    train(cfg)
+    rows = [
+        json.loads(l)
+        for l in open(f"{job_dir}/metrics.jsonl")
+        if "lr" in json.loads(l)
+    ]
+    resumed = [r for r in rows if r["epoch"] == 3][0]
+    assert resumed["lr"] <= meta["scheduler"]["lr"]
