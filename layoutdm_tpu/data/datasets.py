@@ -36,6 +36,10 @@ class LayoutData:
     label: np.ndarray  # (M, S) int32
     mask: np.ndarray  # (M, S) bool
     labels: Tuple[str, ...]  # category names
+    # per-layout source name (rico: annotation filename, publaynet:
+    # page file_name) — the provenance real-image rendering needs
+    # (`rico.py:178-216`); None for synthetic/legacy caches
+    names: "np.ndarray | None" = None
 
     def __len__(self) -> int:
         return self.bbox.shape[0]
@@ -59,7 +63,8 @@ def _pad_layouts(
     bbox = np.zeros((M, S, 4), np.float32)
     label = np.zeros((M, S), np.int32)
     mask = np.zeros((M, S), bool)
-    for i, (b, l) in enumerate(layouts):
+    for i, lay in enumerate(layouts):
+        b, l = lay[0], lay[1]
         n = len(l)
         bbox[i, :n] = b
         label[i, :n] = l
@@ -122,7 +127,8 @@ def parse_rico(
                 )
                 cats.append(label2index[e["componentLabel"]])
             out.append(
-                (np.asarray(boxes, np.float32), np.asarray(cats, np.int32))
+                (np.asarray(boxes, np.float32), np.asarray(cats, np.int32),
+                 name)
             )
     return out
 
@@ -172,7 +178,10 @@ def parse_publaynet(
         n = len(boxes)
         if n == 0 or n > max_seq_length:
             continue
-        out.append((np.asarray(boxes, np.float32), np.asarray(cats, np.int32)))
+        out.append(
+            (np.asarray(boxes, np.float32), np.asarray(cats, np.int32),
+             im.get("file_name", str(img_id)))
+        )
     return out
 
 
@@ -255,7 +264,10 @@ def load_dataset(
     proc_path = os.path.join(proc_dir, f"{split}.npz")
     if os.path.exists(proc_path):
         z = np.load(proc_path)
-        return LayoutData(name, z["bbox"], z["label"], z["mask"], labels)
+        return LayoutData(
+            name, z["bbox"], z["label"], z["mask"], labels,
+            names=z["names"] if "names" in z.files else None,
+        )
 
     raw_dir = os.path.join(data_dir, f"{name}-max{max_seq_length}", "raw")
     os.makedirs(proc_dir, exist_ok=True)
@@ -293,7 +305,12 @@ def load_dataset(
     for s, ls in parts.items():
         bbox, label, mask = _pad_layouts(ls, max_seq_length)
         np.savez_compressed(
-            os.path.join(proc_dir, f"{s}.npz"), bbox=bbox, label=label, mask=mask
+            os.path.join(proc_dir, f"{s}.npz"),
+            bbox=bbox, label=label, mask=mask,
+            names=np.asarray([lay[2] for lay in ls]),
         )
     z = np.load(proc_path)
-    return LayoutData(name, z["bbox"], z["label"], z["mask"], labels)
+    return LayoutData(
+        name, z["bbox"], z["label"], z["mask"], labels,
+        names=z["names"] if "names" in z.files else None,
+    )

@@ -27,6 +27,13 @@ def main(argv=None):
     p.add_argument("result_path")
     p.add_argument("--out_dir", default=None)
     p.add_argument("--num_samples", type=int, default=64)
+    p.add_argument(
+        "--image_dir",
+        default=None,
+        help="directory of raw screenshots (rico 'combined/'); renders the "
+        "test-split ground truth in real-image mode (`render.py` + "
+        "`rico.py:178-216`)",
+    )
     a = p.parse_args(argv)
 
     with open(a.result_path, "rb") as f:
@@ -55,6 +62,38 @@ def main(argv=None):
             n_cat,
             canvas_size=canvas,
         )
+
+    if a.image_dir:
+        # real-image GT rendering: background screenshots + cropped patches
+        from layoutdm_tpu.data.datasets import load_dataset
+        from layoutdm_tpu.utils.visualization import get_original_resources
+
+        data = load_dataset(
+            cfg.dataset.name, cfg.dataset.dir, "test", S
+        )
+        if data.names is None:
+            logger.warning(
+                "processed npz has no source names (re-ingest to enable "
+                "real-image rendering); skipping"
+            )
+        else:
+            k = min(a.num_samples, 16, len(data))
+            gt_bbox = [data.bbox[i][data.mask[i]] for i in range(k)]
+            resources = get_original_resources(
+                a.image_dir, [str(n) for n in data.names[:k]], gt_bbox
+            )
+            save_image(
+                {
+                    "bbox": data.bbox[:k],
+                    "label": data.label[:k],
+                    "mask": data.mask[:k],
+                },
+                os.path.join(out_dir, "real_gt.png"),
+                n_cat,
+                canvas_size=canvas,
+                batch_resources=resources,
+            )
+            logger.info("real-image GT grid -> %s/real_gt.png", out_dir)
 
     # per-sample CSV (`render.py:222-225`)
     align = M.compute_alignment(bbox, mask)

@@ -272,3 +272,42 @@ def save_gif(
         duration=duration_ms,
         loop=0,
     )
+
+
+def get_original_resources(
+    image_dir: str,
+    names: Sequence[str],
+    bboxes: Sequence[np.ndarray],  # per-layout (n_i, 4) xywh
+) -> Dict[str, list]:
+    """Load per-layout real-image resources for real-image rendering
+    (`datasets/rico.py:178-216`): for each layout, open the source
+    screenshot ``{image_dir}/{name}.jpg``, crop each element's patch, and
+    white out the element regions in the background copy.
+
+    Returns ``{"img_bg", "img_original", "cropped_patches"}`` consumable by
+    `save_image(batch_resources=...)`.
+    """
+    import os
+
+    img_bg, img_original, cropped = [], [], []
+    for name, bbox in zip(names, bboxes):
+        base = os.path.basename(str(name)).replace(".json", ".jpg")
+        img = Image.open(os.path.join(image_dir, base)).convert("RGB")
+        img_original.append(img.copy())
+        W, H = img.size
+        draw = ImageDraw.Draw(img)
+        patches = []
+        for x, y, w, h in np.asarray(bbox):
+            l = int((x - w / 2) * W)
+            t = int((y - h / 2) * H)
+            r = int((x + w / 2) * W)
+            b = int((y + h / 2) * H)
+            patches.append(img.crop((l, t, r, b)))
+            draw.rectangle([(l, t), (r, b)], fill=(255, 255, 255))
+        img_bg.append(img)
+        cropped.append(patches)
+    return {
+        "img_bg": img_bg,
+        "img_original": img_original,
+        "cropped_patches": cropped,
+    }

@@ -48,13 +48,14 @@ def _drive(cls, raw_dir, processed_paths, max_seq_length):
 
 
 def _load_ref_split(path):
-    out = []
+    out, names = [], []
     for d in torch.load(path, weights_only=False):
         out.append((d.x.numpy(), d.y.numpy()))
-    return out
+        names.append(d.attr["name"])
+    return out, names
 
 
-def _compare_split(ref_layouts, mine):
+def _compare_split(ref_layouts, mine, ref_names=None):
     assert len(ref_layouts) == len(mine), (len(ref_layouts), len(mine))
     for i, (rb, rl) in enumerate(ref_layouts):
         n = len(rl)
@@ -64,6 +65,9 @@ def _compare_split(ref_layouts, mine):
         np.testing.assert_allclose(
             np.asarray(mine.bbox[i])[:n], rb, atol=1e-7, rtol=0
         )
+        if ref_names is not None:
+            # source-name provenance matches the reference's attr["name"]
+            assert str(mine.names[i]) == str(ref_names[i])
 
 
 # ---------------------------------------------------------------------------
@@ -196,9 +200,9 @@ def test_rico_parser_matches_reference(tmp_path):
 
     data_dir = str(tmp_path / "datasets")
     for i, split in enumerate(("train", "val", "test")):
-        ref_layouts = _load_ref_split(ref_out[i])
+        ref_layouts, ref_names = _load_ref_split(ref_out[i])
         mine = load_dataset("rico25", data_dir, split, 25)
-        _compare_split(ref_layouts, mine)
+        _compare_split(ref_layouts, mine, ref_names)
 
 
 def test_publaynet_parser_matches_reference(tmp_path):
@@ -224,9 +228,9 @@ def test_publaynet_parser_matches_reference(tmp_path):
 
     data_dir = str(tmp_path / "datasets")
     for i, split in enumerate(("train", "val", "test")):
-        ref_layouts = _load_ref_split(ref_out[i])
+        ref_layouts, ref_names = _load_ref_split(ref_out[i])
         mine = load_dataset("publaynet", data_dir, split, 25)
-        _compare_split(ref_layouts, mine)
+        _compare_split(ref_layouts, mine, ref_names)
 
 
 def test_ingest_cli_smoke(tmp_path, capsys):

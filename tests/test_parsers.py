@@ -50,7 +50,7 @@ def test_parse_rico(tmp_path):
     make_rico_zip(zpath)
     layouts = parse_rico(zpath, RICO25_LABELS, max_seq_length=25)
     assert len(layouts) == 20  # landscape dropped; invalid children filtered
-    for bbox, label in layouts:
+    for bbox, label, _name in layouts:
         assert bbox.shape[1] == 4
         assert (bbox >= 0).all() and (bbox <= 1).all()
         assert (label >= 0).all() and (label < 25).all()
@@ -89,7 +89,7 @@ def test_parse_publaynet(tmp_path):
     make_coco_json(path)
     layouts = parse_publaynet(path, PUBLAYNET_LABELS, max_seq_length=25)
     assert len(layouts) == 12
-    for bbox, label in layouts:
+    for bbox, label, _name in layouts:
         assert (bbox >= 0).all() and (bbox <= 1).all()
         assert (label >= 0).all() and (label < 5).all()
 

@@ -120,3 +120,86 @@ def test_save_image_names(tmp_path, rng):
         names=[f"cat{i}" for i in range(5)],
     )
     assert out.exists()
+
+
+def test_get_original_resources(tmp_path, rng):
+    """Crops element patches from the source screenshot and whites them out
+    in the background copy (`rico.py:178-216`)."""
+    from layoutdm_tpu.utils.visualization import get_original_resources
+
+    W, H = 40, 60
+    img = Image.new("RGB", (W, H), (0, 0, 200))  # blue screenshot
+    # a red element region that the patch should capture
+    for x in range(8, 16):
+        for y in range(12, 24):
+            img.putpixel((x, y), (200, 0, 0))
+    (tmp_path / "imgs").mkdir()
+    img.save(tmp_path / "imgs" / "7.jpg")
+
+    bbox = np.array([[0.3, 0.3, 0.2, 0.2]], np.float32)  # covers the red area
+    res = get_original_resources(
+        str(tmp_path / "imgs"), ["7.json"], [bbox]
+    )
+    assert len(res["img_bg"]) == 1 and len(res["cropped_patches"][0]) == 1
+    patch = np.asarray(res["cropped_patches"][0][0])
+    assert patch.shape[0] > 0 and patch[..., 0].mean() > 100  # reddish
+    # background whited out where the element was
+    bg = np.asarray(res["img_bg"][0])
+    assert (bg[18, 12] > 240).all()
+    # original untouched
+    orig = np.asarray(res["img_original"][0])
+    assert orig[18, 12, 2] > 100 or orig[18, 12, 0] > 100
+
+
+def test_render_cli_real_image_mode(tmp_path):
+    """`render_cli --image_dir` renders the test-split GT over real
+    screenshots end-to-end (fixture archive + synthetic jpgs)."""
+    import os
+    import pickle
+
+    from layoutdm_tpu.configs import build_train_config, to_dict
+    from layoutdm_tpu.data.datasets import load_dataset
+    from layoutdm_tpu.render_cli import main as render_main
+    from tests.test_parser_vs_reference import make_rico_fixture
+
+    raw_dir = tmp_path / "datasets" / "rico25-max25" / "raw"
+    os.makedirs(raw_dir)
+    make_rico_fixture(
+        str(raw_dir / "rico_dataset_v0.1_semantic_annotations.zip"),
+        n_screens=20,
+    )
+    data_dir = str(tmp_path / "datasets")
+    test = load_dataset("rico25", data_dir, "test", 25)
+    assert test.names is not None
+
+    img_dir = tmp_path / "combined"
+    img_dir.mkdir()
+    for n in test.names:
+        Image.new("RGB", (36, 64), (30, 120, 30)).save(
+            img_dir / str(n).replace(".json", ".jpg")
+        )
+
+    cfg = build_train_config("layoutdm", "rico25", [f"job_dir={tmp_path}"])
+    cfg.dataset.dir = data_dir
+    res = {
+        "results": [
+            (test.bbox[i][test.mask[i]], test.label[i][test.mask[i]])
+            for i in range(len(test))
+        ],
+        "train_cfg": to_dict(cfg),
+        "test_cfg": {},
+    }
+    pkl = tmp_path / "c_test_seed_0.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump(res, f)
+
+    out_dir = str(tmp_path / "render")
+    render_main(
+        [str(pkl), "--out_dir", out_dir, "--image_dir", str(img_dir),
+         "--num_samples", "4"]
+    )
+    real = os.path.join(out_dir, "real_gt.png")
+    assert os.path.exists(real)
+    arr = np.asarray(Image.open(real))
+    # screenshot green must appear somewhere in the composited grid
+    assert ((arr[..., 1] > 100) & (arr[..., 0] < 60)).any()
