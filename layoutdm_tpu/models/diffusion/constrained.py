@@ -23,6 +23,7 @@ from layoutdm_tpu.ops.log_math import (
     ScheduleTables,
     log_add_exp,
     log_onehot,
+    posterior_tail,
 )
 from layoutdm_tpu.ops.samplers import gumbel_noise
 from layoutdm_tpu.tokenizer.converter import Converter
@@ -152,14 +153,10 @@ class ConstrainedQ:
         )
         log_qt1 = jnp.where(is_mask, ct_row, log_qt1)
 
-        q = log_x_start_p[..., :-1] - log_qt
-        q = jnp.where(self.normal_valid, q, LOG_EPS)
-        q = jnp.concatenate([q, jnp.full_like(q[..., -1:], LOG_EPS)], axis=-1)
-        lse = jax.scipy.special.logsumexp(q, axis=-1, keepdims=True)
-        q = q - lse
-        out = self.q_pred(q, t - 1) + log_qt1 + lse
-        out = jnp.clip(out, -70.0, 0.0)
-
+        out = posterior_tail(
+            self.q_pred, log_x_start_p, log_qt, log_qt1, t,
+            valid=self.normal_valid,
+        )
         return cv.p_to_f_log(out).reshape(B, S_tok, self.Vf)
 
     def q_posterior_ids(
@@ -207,14 +204,10 @@ class ConstrainedQ:
         )
         log_qt1 = jnp.concatenate([log_qt1_real, log_qt1_mask], axis=-1)
 
-        q = log_x_start_p[..., :-1] - log_qt
-        q = jnp.where(self.normal_valid, q, LOG_EPS)
-        q = jnp.concatenate([q, jnp.full_like(q[..., -1:], LOG_EPS)], axis=-1)
-        lse = jax.scipy.special.logsumexp(q, axis=-1, keepdims=True)
-        q = q - lse
-        out = self.q_pred(q, t - 1) + log_qt1 + lse
-        out = jnp.clip(out, -70.0, 0.0)
-
+        out = posterior_tail(
+            self.q_pred, log_x_start_p, log_qt, log_qt1, t,
+            valid=self.normal_valid,
+        )
         return cv.p_to_f_log(out).reshape(B, S_tok, self.Vf)
 
     def q_sample(

@@ -20,6 +20,7 @@ from layoutdm_tpu.ops.log_math import (
     ScheduleTables,
     log_add_exp,
     log_onehot,
+    posterior_tail,
 )
 from layoutdm_tpu.ops.samplers import gumbel_noise
 
@@ -110,12 +111,7 @@ class VanillaQ:
         )
         log_qt1 = jnp.where(is_mask, ct_row, log_qt1)
 
-        q = log_x_start[..., :-1] - log_qt
-        q = jnp.concatenate([q, jnp.full_like(q[..., -1:], LOG_EPS)], axis=-1)
-        lse = jax.scipy.special.logsumexp(q, axis=-1, keepdims=True)
-        q = q - lse
-        out = self.q_pred(q, t - 1) + log_qt1 + lse
-        return jnp.clip(out, -70.0, 0.0)
+        return posterior_tail(self.q_pred, log_x_start, log_qt, log_qt1, t)
 
     def q_posterior_ids(
         self, log_x_start: jnp.ndarray, xt_ids: jnp.ndarray, t: jnp.ndarray
@@ -158,12 +154,7 @@ class VanillaQ:
         )
         log_qt1 = jnp.concatenate([log_qt1_real, log_qt1_mask], axis=-1)
 
-        q = log_x_start[..., :-1] - log_qt
-        q = jnp.concatenate([q, jnp.full_like(q[..., -1:], LOG_EPS)], axis=-1)
-        lse = jax.scipy.special.logsumexp(q, axis=-1, keepdims=True)
-        q = q - lse
-        out = self.q_pred(q, t - 1) + log_qt1 + lse
-        return jnp.clip(out, -70.0, 0.0)
+        return posterior_tail(self.q_pred, log_x_start, log_qt, log_qt1, t)
 
     def _q_sample_ids(
         self, rng: jax.Array, log_x_start: jnp.ndarray, t: jnp.ndarray

@@ -181,7 +181,10 @@ class SelfAttention(nn.Module):
         # flag cleanly separates the compiled samplers/eval (fused) from
         # jax.grad-wrapped training (XLA)
         use_fused = (
-            can_use_fused(S, mask, key_padding_mask, d_model=D)
+            can_use_fused(
+                S, mask, key_padding_mask, d_model=D,
+                itemsize=qkv.dtype.itemsize,
+            )
             and deterministic
         )
         if use_fused:

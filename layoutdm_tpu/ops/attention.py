@@ -130,10 +130,14 @@ def fits_vmem(S: int, d_model: int, itemsize: int = 2) -> bool:
     return _vmem_per_row(S, d_model, itemsize) <= _VMEM_BUDGET
 
 
-def can_use_fused(S: int, mask, key_padding_mask, d_model: int = 0) -> bool:
+def can_use_fused(
+    S: int, mask, key_padding_mask, d_model: int = 0, itemsize: int = 2
+) -> bool:
     """Gate: fused packed-qkv kernel on by default wherever it applies
     (mask-free dense attention on TPU, shapes that fit VMEM);
-    LAYOUTDM_TPU_FUSED_ATTN=1/0 forces it on/off."""
+    LAYOUTDM_TPU_FUSED_ATTN=1/0 forces it on/off.  The force flag only
+    overrides the heuristic — never the safety conditions (pallas present,
+    no masks, TPU backend, VMEM fit)."""
     import os
 
     force = os.environ.get("LAYOUTDM_TPU_FUSED_ATTN")
@@ -143,7 +147,7 @@ def can_use_fused(S: int, mask, key_padding_mask, d_model: int = 0) -> bool:
         return False
     if mask is not None or key_padding_mask is not None:
         return False
-    if d_model and not fits_vmem(S, d_model):
+    if d_model and not fits_vmem(S, d_model, itemsize):
         return False
     if jax.default_backend() != "tpu":
         return False

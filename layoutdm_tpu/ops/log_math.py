@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -135,3 +136,28 @@ class ScheduleTables:
             "log_cumprod_ct": self.log_cumprod_ct,
             "log_1_min_cumprod_ct": self.log_1_min_cumprod_ct,
         }
+
+
+def posterior_tail(
+    q_pred,  # bound q_pred of the owning Q (full or partial space)
+    log_x_start: jnp.ndarray,
+    log_qt: jnp.ndarray,
+    log_qt1: jnp.ndarray,
+    t: jnp.ndarray,
+    valid=None,
+) -> jnp.ndarray:
+    """The shared tail of VQDiffusion Eq.5 (`vanilla.py:142-151`):
+    q = x0/qt normalized, then q_pred(q, t-1) + qt1 + lse, clipped.
+
+    One implementation serves all four posterior variants (vanilla /
+    constrained x dense / ids-specialized) so numerics fixes cannot
+    silently diverge between copies; ``valid`` pins dead partial-vocab
+    lanes to LOG_EPS (constrained only).
+    """
+    q = log_x_start[..., :-1] - log_qt
+    if valid is not None:
+        q = jnp.where(valid, q, LOG_EPS)
+    q = jnp.concatenate([q, jnp.full_like(q[..., -1:], LOG_EPS)], axis=-1)
+    lse = jax.scipy.special.logsumexp(q, axis=-1, keepdims=True)
+    q = q - lse
+    return jnp.clip(q_pred(q, t - 1) + log_qt1 + lse, -70.0, 0.0)

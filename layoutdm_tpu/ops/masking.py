@@ -21,17 +21,26 @@ def batch_topk_mask(
 ):
     """Row-wise mask of the top-k scores (`helpers/util.py:25-47`).
 
-    Exactly mirrors the reference semantics: the k-th largest valid score is
-    the (exclusive) threshold, so exactly ``topk`` entries are True for
-    distinct scores.
+    Mirrors the reference semantics (the k-th largest valid score is the
+    exclusive threshold, so exactly ``topk`` entries are True for distinct
+    scores) and additionally handles ``topk >= #valid``, where the
+    reference's gather would be out of bounds: all valid entries are
+    selected instead of silently dropping one.
     """
     if mask is not None:
         scores = jnp.where(mask, scores, -jnp.inf)
     S = scores.shape[-1]
+    n_valid = (
+        mask.sum(axis=1) if mask is not None else jnp.full(scores.shape[0], S)
+    )
     sorted_desc = jnp.sort(scores, axis=-1)[:, ::-1]
     idx = jnp.clip(topk[:, None], 0, S - 1)  # OOB gather fills NaN in jax
     kth = jnp.take_along_axis(sorted_desc, idx, axis=1)
-    return scores > kth, kth
+    select_all = (topk >= n_valid)[:, None]
+    out = jnp.where(
+        select_all, jnp.isfinite(scores), scores > kth
+    )
+    return out, kth
 
 
 def sample_mask(rng: jax.Array, mask: jnp.ndarray, ratio: jnp.ndarray) -> jnp.ndarray:

@@ -47,17 +47,30 @@ def percentile_1d(
 ) -> np.ndarray:
     """Equal-mass binning (`helpers/clustering.py:17-43` semantics): bins are
     defined over the sorted unique values; each center is the mean of its
-    bin's values (-1 for empty bins, which are never queried)."""
+    bin's values.  Empty bins (fewer unique values than clusters) inherit
+    the nearest non-empty center below them — a -1 sentinel would survive
+    `load_kmeans_centers`'s ascending sort and occupy the LOWEST bins,
+    making bogus centers queryable."""
     x = np.asarray(x, dtype=np.float64).reshape(-1).clip(v_min, v_max)
     u = np.sort(np.unique(x))
     thresholds = np.linspace(0.0, 1.0, n_clusters + 1)[:-1]
     thr = np.array([u[int(t * len(u))] for t in thresholds])
     ids = (thr[None, :] <= u[:, None]).sum(axis=1) - 1
-    centers = np.full((n_clusters,), -1.0)
+    centers = np.full((n_clusters,), np.nan)
     for i in range(n_clusters):
         vals = u[ids == i]
         if len(vals) > 0:
             centers[i] = vals.mean()
+    # forward/backward fill so every bin holds a real, in-range center
+    last = None
+    for i in range(n_clusters):
+        if np.isnan(centers[i]):
+            if last is not None:
+                centers[i] = last
+        else:
+            last = centers[i]
+    first = next((c for c in centers if not np.isnan(c)), 0.0)
+    centers = np.where(np.isnan(centers), first, centers)
     return centers.astype(np.float32)
 
 

@@ -45,6 +45,14 @@ class Converter:
     @classmethod
     def build(cls, tok: LayoutSequenceTokenizer) -> "Converter":
         assert "pad" in tok.special_tokens and "mask" in tok.special_tokens
+        # the partial vocabularies cover attribute tokens + PAD + MASK only;
+        # BOS/EOS ids have no lane and would silently alias to lane 0 in
+        # f_to_p_id (the reference's _bucketize asserts the same way,
+        # `layout_tokenizer.py:407-408`)
+        assert set(tok.special_tokens) <= {"pad", "mask"}, (
+            "constrained diffusion requires special_tokens ('pad','mask'); "
+            f"got {tok.special_tokens}"
+        )
         A = tok.N_var_per_element
         Vf = tok.N_total
         pad_id, mask_id = tok.name_to_id("pad"), tok.name_to_id("mask")

@@ -103,9 +103,10 @@ def test_batch_topk_mask_counts(rng):
     scores = jnp.asarray(rng.rand(4, 10), jnp.float32)
     topk = jnp.asarray([0, 1, 5, 10])
     mask, _ = batch_topk_mask(scores, topk)
-    np.testing.assert_array_equal(np.asarray(mask).sum(1), [0, 1, 5, 9])
-    # 9 not 10: the k-th score is the exclusive threshold like the
-    # reference (`helpers/util.py:25-47` keeps scores > kth)
+    np.testing.assert_array_equal(np.asarray(mask).sum(1), [0, 1, 5, 10])
+    # topk < S uses the reference's exclusive k-th-score threshold
+    # (`helpers/util.py:25-47` keeps scores > kth); topk == S selects all
+    # (where the reference's gather would be out of bounds)
 
 
 def test_sequence_and_sample_mask(rng):
@@ -174,3 +175,39 @@ def test_timestep_ladder():
     mt, pt = timestep_ladder(100, None, time_difference=0.1)
     assert mt[0] == 99 and pt[0] == 89
     assert pt[-1] == 0
+
+
+def test_batch_topk_mask_select_all(rng):
+    """topk >= #valid selects ALL valid entries (the reference's gather
+    would be out of bounds there; round-2 review finding)."""
+    import jax.numpy as jnp
+
+    from layoutdm_tpu.ops.masking import batch_topk_mask, sample_mask
+
+    scores = jnp.asarray(rng.randn(2, 6).astype(np.float32))
+    out, _ = batch_topk_mask(scores, jnp.asarray([6, 3]))
+    assert int(out[0].sum()) == 6  # all selected
+    assert int(out[1].sum()) == 3
+
+    # with a validity mask: topk == n_valid selects exactly the valid set
+    mask = jnp.asarray([[True] * 4 + [False] * 2, [True] * 6])
+    out, _ = batch_topk_mask(scores, jnp.asarray([4, 6]), mask=mask)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(mask))
+
+    # ratio=1.0 keeps every element
+    import jax
+
+    full = sample_mask(jax.random.PRNGKey(0), jnp.ones((3, 5), bool), 1.0)
+    assert bool(full.all())
+
+
+def test_percentile_fills_empty_bins():
+    """Fewer unique values than clusters: every center is a real value (no
+    -1 sentinels that would sort to the lowest bins)."""
+    from layoutdm_tpu.tokenizer.clustering import percentile_1d
+
+    x = np.repeat(np.linspace(0.2, 0.8, 5), 10)
+    centers = percentile_1d(x, n_clusters=32)
+    assert centers.shape == (32,)
+    assert (centers >= 0.0).all() and (centers <= 1.0).all()
+    assert len(np.unique(centers)) <= 5
