@@ -79,35 +79,52 @@ def flops_per_layout(model, num_timesteps=100):
     return num_timesteps * (denoiser + routes)
 
 
-def measure_gemm_ceiling(batch, model, dtype=jnp.bfloat16, n_iters=30):
+def measure_gemm_ceiling(batch, model, dtype=jnp.bfloat16):
     """Measured TFLOP/s of the sampler's dominant GEMM shape on this chip:
-    (B*S, d) x (d, ff) in bf16 — an honest per-shape roofline, not the
-    datasheet peak.
+    the (B*S, d) x (d, ff) -> (B*S, ff) x (ff, d) FFN pair in bf16 — an
+    honest per-shape roofline, not the datasheet peak.
 
-    Timed as ONE jitted scan of n_iters data-dependent GEMMs ending in a
-    scalar fetch: the remote-TPU path queues small dispatches asynchronously
-    and `block_until_ready` can return early, so per-dispatch host timing
-    under-reads (docs/DESIGN.md §6 caveat)."""
+    Two pitfalls shape this methodology (docs/DESIGN.md §6):
+    * an earlier version chained `(a @ b)[:, :k]` — XLA propagates the
+      slice INTO the GEMM and narrows N, so it silently measured a much
+      smaller matmul.  The two-GEMM chain consumes every output column.
+    * the remote-TPU (axon) path costs ~30 ms of fixed overhead per
+      program invocation, which at small iteration counts dominates the
+      measurement.  Timing two iteration counts and using the SLOPE
+      cancels the floor exactly.
+    """
     bb = model.backbone_cfg
     m, k, n = batch * model.seq_len, bb.d_model, bb.dim_feedforward
-    a = jnp.ones((m, k), dtype)
-    b = jnp.ones((k, n), dtype)
+    a = jnp.full((m, k), 0.01, dtype)
+    b1 = jnp.full((k, n), 0.01, dtype)
+    # pair gain ~= (0.01k)(b2*n)(0.5) == 1 so the chain stays finite in bf16
+    b2 = jnp.full((n, k), 1.0 / (0.01 * k * n * 0.5), dtype)
 
-    @jax.jit
-    def loop(a, b):
-        def body(a, _):
-            out = a @ b  # (m, n)
-            # data dependence into the next step; rescale to stay finite
-            return (out[:, :k] * (1.0 / k)).astype(dtype), None
+    def make(n_iters):
+        @jax.jit
+        def loop(a, b1, b2):
+            def body(a, _):
+                h = a @ b1  # (m, n)
+                # data dependence into the next step; rescale to stay finite
+                return (h @ b2) * jnp.asarray(0.5, dtype), None
 
-        a, _ = jax.lax.scan(body, a, None, length=n_iters)
-        return jnp.sum(a[0].astype(jnp.float32))
+            a, _ = jax.lax.scan(body, a, None, length=n_iters)
+            return jnp.sum(a[0].astype(jnp.float32))
 
-    float(loop(a, b))  # compile + warm
-    t0 = time.perf_counter()
-    float(loop(a, b))
-    dt = time.perf_counter() - t0
-    return 2.0 * m * k * n * n_iters / dt / 1e12
+        return loop
+
+    def timed(fn):
+        float(fn(a, b1, b2))  # compile + warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(fn(a, b1, b2))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = timed(make(10)), timed(make(40))
+    slope = max((t_hi - t_lo) / 30, 1e-9)  # s per two-GEMM pair
+    return 2.0 * m * k * n * 2 / slope / 1e12
 
 
 def main():

@@ -194,10 +194,19 @@ class SelfAttention(nn.Module):
             out = fused_attention_qkv(qkv, num_heads=H)
             return nn.Dense(D, name="out", dtype=self.dtype)(out)
 
+        from layoutdm_tpu.ops.attention import head_pad_target, use_head_pad
+
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, S, H, hd)
         k = k.reshape(B, S, H, hd)
         v = v.reshape(B, S, H, hd)
+        if use_head_pad(hd):
+            # zero-pad heads to a lane multiple: exact (zero lanes add
+            # zero score terms / zero output lanes) and linear (AD-safe),
+            # so training takes this path too — see ops/attention.py
+            hp = head_pad_target(hd)
+            pad = ((0, 0), (0, 0), (0, 0), (0, hp - hd))
+            q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
         if mask is not None:
             scores = scores + mask[None, None].astype(scores.dtype)
@@ -210,8 +219,37 @@ class SelfAttention(nn.Module):
             self.dtype
         )
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, S, D)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)[..., :hd]
+        out = out.reshape(B, S, D)
         return nn.Dense(D, name="out", dtype=self.dtype)(out)
+
+
+class _DenseParams(nn.Module):
+    """Declares exactly `nn.Dense`'s params (same names, shapes, default
+    initializers) without running it — lets the fused-FFN pallas path share
+    one param tree with the XLA path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _NormParams(nn.Module):
+    """`nn.LayerNorm`'s params (scale/bias) without running it."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        g = self.param("scale", nn.initializers.ones, (features,))
+        b = self.param("bias", nn.initializers.zeros, (features,))
+        return g, b
 
 
 class Block(nn.Module):
@@ -246,6 +284,24 @@ class Block(nn.Module):
             name="attn",
         )(x, attn_mask, key_padding_mask, deterministic)
         x = x + nn.Dropout(c.dropout)(attn, deterministic=deterministic)
+
+        from layoutdm_tpu.ops.ffn import can_use_fused_ffn, fused_ln_ffn_residual
+
+        # fused FFN ONLY on the deterministic path (same rules as fused
+        # attention above: no dropout, no AD through pallas_call); the
+        # param trees of both paths are identical so a checkpoint works
+        # with either
+        if deterministic and can_use_fused_ffn(
+            c.d_model, c.dim_feedforward, c.activation,
+            itemsize=jnp.dtype(self.dtype).itemsize,
+        ):
+            g, b = _NormParams(name="norm2")(c.d_model)
+            w1, b1 = _DenseParams(c.dim_feedforward, name="linear1")(c.d_model)
+            w2, b2 = _DenseParams(c.d_model, name="linear2")(c.dim_feedforward)
+            return fused_ln_ffn_residual(
+                x.astype(self.dtype), g, b, w1, b1, w2, b2,
+                activation=c.activation,
+            ).astype(x.dtype)
 
         h = nn.LayerNorm(name="norm2")(x)
         h = nn.Dense(c.dim_feedforward, name="linear1", dtype=self.dtype)(h)
@@ -541,6 +597,26 @@ class DecoderBlock(nn.Module):
                            decode=self.decode,
                            name="cross_attn")(h, memory, deterministic)
         x = x + nn.Dropout(c.dropout)(h, deterministic=deterministic)
+        from layoutdm_tpu.ops.ffn import can_use_fused_ffn, fused_ln_ffn_residual
+
+        # same fused-FFN rules as Block; skipped in KV-cached decode where
+        # the (B, 1, D) step has no HBM intermediate worth saving
+        if (
+            deterministic
+            and not self.decode
+            and can_use_fused_ffn(
+                c.d_model, c.dim_feedforward, c.activation,
+                itemsize=jnp.dtype(self.dtype).itemsize,
+            )
+        ):
+            g, b = _NormParams(name="norm3")(c.d_model)
+            w1, b1 = _DenseParams(c.dim_feedforward, name="linear1")(c.d_model)
+            w2, b2 = _DenseParams(c.d_model, name="linear2")(c.dim_feedforward)
+            return fused_ln_ffn_residual(
+                x.astype(self.dtype), g, b, w1, b1, w2, b2,
+                activation=c.activation,
+            ).astype(x.dtype)
+
         h = nn.LayerNorm(name="norm3")(x)
         h = nn.Dense(c.dim_feedforward, name="linear1", dtype=self.dtype)(h)
         h = ACTIVATIONS[c.activation](h)

@@ -130,6 +130,36 @@ def fits_vmem(S: int, d_model: int, itemsize: int = 2) -> bool:
     return _vmem_per_row(S, d_model, itemsize) <= _VMEM_BUDGET
 
 
+def head_pad_target(hd: int) -> int:
+    """Next multiple-of-64 head size for the padded XLA attention path.
+
+    Zero-padding q/k/v to a lane multiple is mathematically EXACT (padded
+    q x padded k adds zero score terms; padded v lanes produce zeros the
+    out-projection's slice drops) and linear, so it is safe under
+    jax.grad.  Returns hd unchanged when already aligned."""
+    if hd % 64 == 0:
+        return hd
+    return -(-hd // 64) * 64
+
+
+def use_head_pad(hd: int) -> bool:
+    """OFF by default — a measured negative result.
+
+    Hypothesis was that the flagship's misaligned hd = 464/8 = 58 starves
+    the batched score/value matmuls; measured end-to-end at bench shapes
+    (`bin/bench_decompose.py`, B=1024 S=125 bf16) padding makes the XLA
+    path WORSE (47.0 vs 42.1 ms denoiser/step — the three (B,S,H,64) pad
+    copies cost more than the alignment saves) and the pallas packed-qkv
+    kernel beats both at 36.9 ms.  Kept behind LAYOUTDM_TPU_HEAD_PAD=1
+    for shape regimes where the tradeoff may flip (larger hd remainders,
+    longer S)."""
+    import os
+
+    if os.environ.get("LAYOUTDM_TPU_HEAD_PAD") != "1":
+        return False
+    return hd % 64 != 0 and jax.default_backend() == "tpu"
+
+
 def can_use_fused(
     S: int, mask, key_padding_mask, d_model: int = 0, itemsize: int = 2
 ) -> bool:

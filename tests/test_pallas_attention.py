@@ -99,3 +99,44 @@ def test_auto_batch_per_block_fits_vmem():
     )
     # the observed Mosaic OOM case (S=125, 16 rows ~ 20MB) is excluded
     assert 16 * _vmem_per_row(125, 464, 2) > _VMEM_BUDGET
+
+
+def test_head_pad_exactness(monkeypatch):
+    """Zero-padding heads to a lane multiple is mathematically exact: the
+    XLA attention path with hd=58 padded to 64 equals the unpadded path."""
+    from layoutdm_tpu.configs import BackboneConfig
+    from layoutdm_tpu.models.nn import SelfAttention
+    import layoutdm_tpu.ops.attention as att
+
+    B, S, D, H = 2, 9, 232, 4  # hd = 58, the flagship misalignment
+    mod = SelfAttention(D, H, 0.0)
+    x = jnp.asarray(np.random.RandomState(0).randn(B, S, D), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+
+    monkeypatch.setenv("LAYOUTDM_TPU_HEAD_PAD", "0")
+    want = mod.apply({"params": params}, x)
+    monkeypatch.setenv("LAYOUTDM_TPU_HEAD_PAD", "1")  # off by default
+    monkeypatch.setenv("LAYOUTDM_TPU_FUSED_ATTN", "0")  # force XLA path
+    monkeypatch.setattr(att.jax, "default_backend", lambda: "tpu")
+    assert att.use_head_pad(58)
+    got = mod.apply({"params": params}, x)
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=2e-6)
+
+    # grads flow identically (pad/slice are linear)
+    def loss(p, fn_env):
+        return jnp.sum(mod.apply({"params": p}, x) ** 2)
+
+    g1 = jax.grad(loss)(params, None)
+    monkeypatch.setenv("LAYOUTDM_TPU_HEAD_PAD", "0")
+    g2 = jax.grad(loss)(params, None)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
+
+
+def test_head_pad_target():
+    from layoutdm_tpu.ops.attention import head_pad_target
+
+    assert head_pad_target(58) == 64
+    assert head_pad_target(64) == 64
+    assert head_pad_target(65) == 128
+    assert head_pad_target(128) == 128
