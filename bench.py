@@ -133,8 +133,35 @@ def main():
     params = model.init(jax.random.PRNGKey(0))
     sampling = SamplingConfig(name="random")
 
-    def run(rng, batch_size):
-        return model.sample_ids(params, rng, batch_size, sampling=sampling)
+    # LAYOUTDM_TPU_INT8=1: measure the static-quantized serving engine
+    # instead (alternate metric name; the headline stays bf16)
+    from layoutdm_tpu.models.int8_serving import (
+        can_use_int8,
+        make_int8_predict_start,
+    )
+
+    use_int8 = can_use_int8(model.backbone_cfg)
+    if use_int8:
+        from layoutdm_tpu.models.diffusion.sampler import (
+            SamplerCond,
+            sample_chain,
+        )
+
+        int8_ps = make_int8_predict_start(model, params)
+        pad_id = model.tokenizer.name_to_id("pad")
+
+        def run(rng, batch_size):
+            cond = SamplerCond.empty(
+                batch_size, model.seq_len, model.num_classes
+            )
+            return sample_chain(
+                params, int8_ps, model.q, rng, cond, sampling, pad_id=pad_id
+            )
+
+    else:
+
+        def run(rng, batch_size):
+            return model.sample_ids(params, rng, batch_size, sampling=sampling)
 
     batch = 1024
     while batch >= 64:
@@ -170,7 +197,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "rico25_uncond_layouts_per_sec_chip_T100",
+                "metric": "rico25_uncond_layouts_per_sec_chip_T100"
+                + ("_int8" if use_int8 else ""),
                 "value": round(layouts_per_sec, 2),
                 "unit": "layouts/s",
                 "vs_baseline": round(

@@ -168,6 +168,33 @@ class SelfAttention(nn.Module):
         H = self.nhead
         assert D % H == 0, f"d_model {D} not divisible by nhead {H}"
         hd = D // H
+
+        from layoutdm_tpu.ops.attention_blockdiag import (
+            blockdiag_attention,
+            can_use_blockdiag,
+            scatter_out_weights,
+            scatter_qkv_weights,
+        )
+
+        # experimental block-diagonal kernel (LAYOUTDM_TPU_ATTN_V2=1):
+        # projection weights are scattered into a padded-head layout so the
+        # GEMM itself emits aligned heads; deterministic-only like the other
+        # pallas paths.  Param tree identical to the nn.Dense branches.
+        if deterministic and can_use_blockdiag(S, mask, key_padding_mask, hd):
+            hp = hd if hd % 64 == 0 else -(-hd // 64) * 64
+            wq, bq = _DenseParams(3 * D, name="qkv")(D)
+            wp, bp = scatter_qkv_weights(
+                wq.astype(self.dtype), bq.astype(self.dtype), H, hd, hp
+            )
+            qkv_pad = x.astype(self.dtype) @ wp + bp
+            o = blockdiag_attention(
+                qkv_pad, num_heads=H, head_pad=hp,
+                scale=1.0 / math.sqrt(hd),
+            )
+            wo, bo = _DenseParams(D, name="out")(D)
+            wop = scatter_out_weights(wo.astype(self.dtype), H, hd, hp)
+            return o @ wop + bo.astype(self.dtype)
+
         qkv = nn.Dense(3 * D, name="qkv", dtype=self.dtype)(x)
 
         from layoutdm_tpu.ops.attention import (
