@@ -5,6 +5,7 @@ compiled sampler in a minimal stdlib HTTP endpoint so a trained job can be
 deployed as a service:
 
     python -m layoutdm_tpu.serve_cli job_dir=<dir> port=8700 [warm_tasks=c]
+        [timestep_ladder=25,50,100]
 
 Endpoints
 ---------
@@ -13,6 +14,13 @@ POST /generate           -> JSON layouts
         {"task": "unconditional" | "c" | "cwh" | "partial" | "refinement",
          "batch_size": int,                (default 1, <= max_batch_size)
          "seed": int,                      (optional)
+         "num_timesteps": int,             (optional quality/latency knob:
+                                            must be in the service's
+                                            timestep ladder — each ladder
+                                            value is one precompiled
+                                            skip-step program, measured
+                                            linear: T=25 is ~4x faster
+                                            than T=100)
          "layout": {                       (required for conditional tasks)
             "label": [[int, ...]],         per-sample category ids
             "bbox":  [[[x,y,w,h], ...]],   normalized xywh
@@ -54,6 +62,7 @@ class LayoutService:
         max_batch_size: int = 64,
         sampling: Optional[SamplingConfig] = None,
         warm_tasks=("unconditional",),
+        timestep_ladder=(),
     ):
         from layoutdm_tpu.factory import build_model, build_tokenizer
         from layoutdm_tpu.train import checkpoint as ckpt
@@ -66,11 +75,21 @@ class LayoutService:
         self.params = ckpt.load_params(template, job_dir, "best")
         self.sampling = sampling or SamplingConfig(name="random")
         self.B = int(max_batch_size)
+        # allowed per-request num_timesteps values (a bounded set: each is
+        # one compiled program — an open set would let clients compile-bomb
+        # the service)
+        self.ladder = tuple(sorted({int(t) for t in timestep_ladder}))
         self._counter = 0
 
         for task in warm_tasks:
             logger.info("warmup compile: %s", task)
             self.generate(task, min(4, self.B), seed=0, layout=None)
+            for t in self.ladder:
+                logger.info("warmup compile: %s T=%d", task, t)
+                self.generate(
+                    task, min(4, self.B), seed=0, layout=None,
+                    num_timesteps=t,
+                )
         logger.info("service ready (batch=%d)", self.B)
 
     # -- request handling ----------------------------------------------------
@@ -104,11 +123,17 @@ class LayoutService:
         return to_sampler_cond(cond, self.tokenizer, self.sampling)
 
     def generate(
-        self, task: str, batch_size: int, seed: Optional[int], layout
+        self, task: str, batch_size: int, seed: Optional[int], layout,
+        num_timesteps: Optional[int] = None,
     ) -> Dict:
         if task != "unconditional" and task not in COND_TASKS:
             raise ValueError(
                 f"unknown task '{task}' (one of unconditional/{'/'.join(COND_TASKS)})"
+            )
+        if num_timesteps is not None and int(num_timesteps) not in self.ladder:
+            raise ValueError(
+                f"num_timesteps {num_timesteps} not in the service ladder "
+                f"{list(self.ladder)} (start with timestep_ladder=...)"
             )
         B = min(int(batch_size), self.B)
         if B < 1:
@@ -122,7 +147,10 @@ class LayoutService:
         cond = self._build_cond(task, layout, self.B)
         t0 = time.perf_counter()
         out = self.model.sample(
-            self.params, rng, self.B, cond=cond, sampling=self.sampling
+            self.params, rng, self.B, cond=cond, sampling=self.sampling,
+            num_timesteps_eval=(
+                int(num_timesteps) if num_timesteps is not None else None
+            ),
         )
         bbox = np.asarray(out["bbox"])[:B]
         label = np.asarray(out["label"])[:B]
@@ -150,6 +178,7 @@ class LayoutService:
             "dataset": self.train_cfg.dataset.name,
             "max_elements": self.tokenizer.max_elements,
             "max_batch_size": self.B,
+            "timestep_ladder": list(self.ladder),
         }
 
 
@@ -181,6 +210,7 @@ def make_handler(service: LayoutService):
                     req.get("batch_size", 1),
                     req.get("seed"),
                     req.get("layout"),
+                    req.get("num_timesteps"),
                 )
                 self._send(200, out)
             except (ValueError, KeyError, TypeError) as e:
@@ -211,10 +241,14 @@ def main(argv=None):
     job_dir = kv.get("job_dir")
     assert job_dir, "job_dir=<trained job> is required"
     port = int(kv.get("port", 8700))
+    ladder = tuple(
+        int(t) for t in kv.get("timestep_ladder", "").split(",") if t
+    )
     service = LayoutService(
         job_dir,
         max_batch_size=int(kv.get("max_batch_size", 64)),
         warm_tasks=tuple(kv.get("warm_tasks", "unconditional").split(",")),
+        timestep_ladder=ladder,
     )
     server = HTTPServer((kv.get("host", "127.0.0.1"), port), make_handler(service))
     logger.info("listening on :%d", port)

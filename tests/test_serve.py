@@ -32,7 +32,7 @@ def server_url(tmp_path_factory):
     cfg.backbone.diffusion_step = 4
     train(cfg)
 
-    service = LayoutService(job_dir, max_batch_size=4)
+    service = LayoutService(job_dir, max_batch_size=4, timestep_ladder=(2,))
     httpd = HTTPServer(("127.0.0.1", 0), make_handler(service))
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -91,6 +91,25 @@ def test_generate_seed_determinism(server_url):
     a = _post(server_url, {"task": "unconditional", "batch_size": 2, "seed": 7})
     b = _post(server_url, {"task": "unconditional", "batch_size": 2, "seed": 7})
     assert a[1]["layouts"] == b[1]["layouts"]
+
+
+def test_generate_timestep_ladder(server_url):
+    # healthz advertises the ladder
+    with urllib.request.urlopen(server_url + "/healthz") as r:
+        assert json.loads(r.read())["timestep_ladder"] == [2]
+    # a ladder value runs the precompiled skip-step program
+    code, out = _post(
+        server_url,
+        {"task": "unconditional", "batch_size": 2, "seed": 3,
+         "num_timesteps": 2},
+    )
+    assert code == 200 and len(out["layouts"]) == 2
+    # non-ladder values are rejected, not compiled
+    code, out = _post(
+        server_url,
+        {"task": "unconditional", "batch_size": 2, "num_timesteps": 3},
+    )
+    assert code == 400 and "ladder" in out["error"]
 
 
 def test_generate_bad_requests(server_url):
