@@ -80,6 +80,13 @@ class LayoutService:
         # the service)
         self.ladder = tuple(sorted({int(t) for t in timestep_ladder}))
         self._counter = 0
+        # ONE compiled program per (t_eval, cond-mode) covering
+        # PRNGKey + reverse chain + tokenizer.decode.  Composing these
+        # eagerly costs a dispatch per jnp op — on a remote-TPU path with a
+        # ~30 ms invocation floor (docs/DESIGN.md §5) that was ~1 s of
+        # fixed per-request latency before the chain even ran.
+        self._run_cache: Dict = {}
+        self._empty_cond = None
 
         for task in warm_tasks:
             logger.info("warmup compile: %s", task)
@@ -141,20 +148,39 @@ class LayoutService:
         if seed is None:
             self._counter += 1
             seed = self._counter
-        rng = jax.random.PRNGKey(int(seed))
 
         # pad to the service batch so the compiled program is reused
         cond = self._build_cond(task, layout, self.B)
+        if cond is None:
+            from layoutdm_tpu.models.diffusion.sampler import SamplerCond
+
+            if self._empty_cond is None:
+                self._empty_cond = SamplerCond.empty(
+                    self.B, self.model.seq_len, self.model.num_classes
+                )
+            cond = self._empty_cond
+        t_eval = int(num_timesteps) if num_timesteps is not None else None
+
+        fn = self._run_cache.get(t_eval)
+        if fn is None:
+            import jax.numpy as jnp
+
+            def run(params, seed, cond):
+                r = jax.random.PRNGKey(seed)
+                ids = self.model.sample_ids(
+                    params, r, self.B, cond=cond, sampling=self.sampling,
+                    num_timesteps_eval=t_eval,
+                )
+                return self.tokenizer.decode(ids)
+
+            fn = jax.jit(run)
+            self._run_cache[t_eval] = fn
+
         t0 = time.perf_counter()
-        out = self.model.sample(
-            self.params, rng, self.B, cond=cond, sampling=self.sampling,
-            num_timesteps_eval=(
-                int(num_timesteps) if num_timesteps is not None else None
-            ),
-        )
-        bbox = np.asarray(out["bbox"])[:B]
-        label = np.asarray(out["label"])[:B]
-        mask = np.asarray(out["mask"])[:B]
+        out = jax.device_get(fn(self.params, np.int32(seed), cond))
+        bbox = out["bbox"][:B]
+        label = out["label"][:B]
+        mask = out["mask"][:B]
         dt = time.perf_counter() - t0
 
         layouts = []
