@@ -211,7 +211,11 @@ def load_fidnet_v3(
             jnp.zeros((1, max_bbox), bool),
         )["params"]
         with open(flax_path, "rb") as f:
-            return model, serialization.from_bytes(template, f.read())
+            restored = serialization.from_bytes(template, f.read())
+        # commit to device once — from_bytes yields host numpy, which
+        # would re-upload per extract_features batch (checkpoint.py has
+        # the same fix, with measured numbers)
+        return model, jax.tree.map(jnp.asarray, restored)
     return load_torch_fidnet(torch_path, num_labels, max_bbox)
 
 

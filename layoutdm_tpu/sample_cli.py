@@ -19,6 +19,7 @@ import time
 from typing import Dict, List
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from layoutdm_tpu.configs import SamplingConfig, TestConfig, to_dict
@@ -77,6 +78,7 @@ def run_sampling(test_cfg: TestConfig, seed_dir: str) -> Dict:
 
         with open(aux_path, "rb") as f:
             model_state = serialization.from_bytes(model_state, f.read())
+        model_state = jax.tree.map(jnp.asarray, model_state)
 
     sampling = SamplingConfig(
         name=test_cfg.sampling,
