@@ -140,7 +140,11 @@ def main():
         make_int8_predict_start,
     )
 
-    use_int8 = can_use_int8(model.backbone_cfg)
+    # gate also needs the param tree to carry elem/attr positions (the
+    # mirror's only supported positional layout)
+    use_int8 = can_use_int8(model.backbone_cfg) and "elem_emb" in params.get(
+        "pos", {}
+    )
     if use_int8:
         from layoutdm_tpu.models.diffusion.sampler import (
             SamplerCond,

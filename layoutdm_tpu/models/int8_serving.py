@@ -135,6 +135,10 @@ def mirror_forward(
 
     h = params["cat_emb"]["embedding"][seq]  # (B, S, D) f32
     pos = params["pos"]
+    assert "elem_emb" in pos and "attr_emb" in pos, (
+        "int8 mirror requires elem_attr positional embeddings; this param "
+        "tree has " + "/".join(sorted(pos))
+    )
     n_elem = pos["elem_emb"].shape[0]
     n_attr = pos["attr_emb"].shape[0]
     assert "bos_emb" not in pos, "BOS positional slot not supported here"
@@ -160,7 +164,9 @@ def mirror_forward(
         x = _ada_layer_norm(lp, h, t).astype(dtype)
         h = x
         qkv = gemm(f"layer{i}/qkv", x, lp["attn"]["qkv"]).astype(dtype)
-        if can_use_fused(S, None, None, d_model=D, itemsize=2):
+        if can_use_fused(
+            S, None, None, d_model=D, itemsize=jnp.dtype(dtype).itemsize
+        ):
             attn = fused_attention_qkv(qkv, num_heads=H)
         else:
             hd = D // H
@@ -181,9 +187,10 @@ def mirror_forward(
         f = gemm(f"layer{i}/linear2", f, lp["linear2"])
         h = h + f.astype(dtype)
 
+    # vocabulary head in f32, matching the flax forward (nn.py runs the
+    # head Dense without a dtype override) — precision-critical
     hf = _layer_norm(params["head_norm"], h)
-    logits = hf.astype(dtype) @ params["head"]["kernel"].astype(dtype)
-    logits = logits.astype(jnp.float32)
+    logits = hf @ params["head"]["kernel"].astype(jnp.float32)
     if observe:
         return logits, observed
     return logits

@@ -180,7 +180,10 @@ class SelfAttention(nn.Module):
         # projection weights are scattered into a padded-head layout so the
         # GEMM itself emits aligned heads; deterministic-only like the other
         # pallas paths.  Param tree identical to the nn.Dense branches.
-        if deterministic and can_use_blockdiag(S, mask, key_padding_mask, hd):
+        if deterministic and can_use_blockdiag(
+            S, mask, key_padding_mask, hd, num_heads=H,
+            itemsize=jnp.dtype(self.dtype).itemsize,
+        ):
             hp = hd if hd % 64 == 0 else -(-hd // 64) * 64
             wq, bq = _DenseParams(3 * D, name="qkv")(D)
             wp, bp = scatter_qkv_weights(

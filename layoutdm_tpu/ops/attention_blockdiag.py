@@ -32,7 +32,6 @@ per-head ones — the experiment this module exists to settle end-to-end
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -130,7 +129,7 @@ def blockdiag_attention(
     qkv_pad: jnp.ndarray,  # (B, S, 3*H*hp) padded-head projection output
     num_heads: int,
     head_pad: int,
-    scale: float | None = None,
+    scale: float,  # 1/sqrt(TRUE head dim) — hp is padded, so no default
     batch_per_block: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -140,8 +139,6 @@ def blockdiag_attention(
     H, hp = num_heads, head_pad
     Hp = H * hp
     Sb = _pad_up(S, 128)
-    if scale is None:
-        scale = 1.0 / math.sqrt(hp)
 
     q = qkv_pad[:, :, :Hp]
     # k^T pre-transposed in HBM once; pad S -> Sb with zero columns
@@ -190,10 +187,13 @@ def _auto_rows(S: int, Sb: int, Hp: int, H: int, itemsize: int) -> int:
     )
 
 
-def can_use_blockdiag(S: int, mask, key_padding_mask, hd: int) -> bool:
+def can_use_blockdiag(
+    S: int, mask, key_padding_mask, hd: int, num_heads: int = 8,
+    itemsize: int = 2,
+) -> bool:
     """Experimental gate: OFF unless LAYOUTDM_TPU_ATTN_V2=1.  Same safety
     conditions as the packed-qkv kernel (TPU, pallas, dense mask-free
-    attention)."""
+    attention, single-row working set fits scoped VMEM)."""
     import os
 
     if os.environ.get("LAYOUTDM_TPU_ATTN_V2") != "1":
@@ -202,4 +202,8 @@ def can_use_blockdiag(S: int, mask, key_padding_mask, hd: int) -> bool:
         return False
     if mask is not None or key_padding_mask is not None:
         return False
+    hp = hd if hd % 64 == 0 else _pad_up(hd, 64)
+    Sb = _pad_up(S, 128)
+    if _row_bytes(S, Sb, num_heads * hp, num_heads, itemsize) > _VMEM_BUDGET:
+        return False  # fall back to XLA instead of failing Mosaic compile
     return jax.default_backend() == "tpu"

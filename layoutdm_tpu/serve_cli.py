@@ -88,13 +88,16 @@ class LayoutService:
         self._run_cache: Dict = {}
         self._empty_cond = None
 
+        # conditional tasks need a layout — warm them with a trivial one
+        dummy_layout = {"label": [0], "bbox": [[0.5, 0.5, 0.2, 0.2]]}
         for task in warm_tasks:
+            lay = None if task == "unconditional" else dummy_layout
             logger.info("warmup compile: %s", task)
-            self.generate(task, min(4, self.B), seed=0, layout=None)
+            self.generate(task, min(4, self.B), seed=0, layout=lay)
             for t in self.ladder:
                 logger.info("warmup compile: %s T=%d", task, t)
                 self.generate(
-                    task, min(4, self.B), seed=0, layout=None,
+                    task, min(4, self.B), seed=0, layout=lay,
                     num_timesteps=t,
                 )
         logger.info("service ready (batch=%d)", self.B)
@@ -137,11 +140,15 @@ class LayoutService:
             raise ValueError(
                 f"unknown task '{task}' (one of unconditional/{'/'.join(COND_TASKS)})"
             )
-        if num_timesteps is not None and int(num_timesteps) not in self.ladder:
-            raise ValueError(
-                f"num_timesteps {num_timesteps} not in the service ladder "
-                f"{list(self.ladder)} (start with timestep_ladder=...)"
-            )
+        if num_timesteps is not None:
+            if (
+                not float(num_timesteps).is_integer()
+                or int(num_timesteps) not in self.ladder
+            ):
+                raise ValueError(
+                    f"num_timesteps {num_timesteps} not in the service ladder "
+                    f"{list(self.ladder)} (start with timestep_ladder=...)"
+                )
         B = min(int(batch_size), self.B)
         if B < 1:
             raise ValueError("batch_size must be >= 1")
@@ -177,7 +184,10 @@ class LayoutService:
             self._run_cache[t_eval] = fn
 
         t0 = time.perf_counter()
-        out = jax.device_get(fn(self.params, np.int32(seed), cond))
+        # fold arbitrary python ints into int32 range (np.int32(2**31)
+        # raises OverflowError on NumPy 2, and PRNGKey wants int32)
+        seed32 = np.int32(int(seed) & 0x7FFFFFFF)
+        out = jax.device_get(fn(self.params, seed32, cond))
         bbox = out["bbox"][:B]
         label = out["label"][:B]
         mask = out["mask"][:B]

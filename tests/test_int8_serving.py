@@ -42,6 +42,18 @@ def test_mirror_matches_flax_forward():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
 
+def test_mirror_matches_flax_forward_bf16():
+    # the SERVING dtype: bf16 trunk with the f32 head (nn.py's head Dense
+    # has no dtype override) — parity within bf16 rounding of the trunk
+    bb, net, params, seq, t, V = _small()
+    want = net.apply({"params": params}, seq, t, deterministic=True)
+    got = mirror_forward(params, bb, V, seq, t, dtype=jnp.bfloat16)
+    np.testing.assert_allclose(got, want, atol=0.15, rtol=0.05)
+    assert (
+        np.mean(np.argmax(got, -1) == np.argmax(np.asarray(want), -1)) > 0.98
+    )
+
+
 def test_quantize_weights_roundtrip():
     bb, net, params, seq, t, V = _small()
     wq = quantize_weights(params)
