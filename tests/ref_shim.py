@@ -423,6 +423,56 @@ def make_ref_tokenizer(
     return LayoutSequenceTokenizer(data_cfg, dataset_cfg)
 
 
+class SparseBatch:
+    """torch_geometric DataBatch stand-in: exactly the attributes the
+    reference's `sparse_to_dense` (`data/util.py:270-286`), `get_cond`
+    (`task.py:43-55`), and the clg losses (`clg/const.py:59-217`) read."""
+
+    def __init__(self, x, y, batch, attr=None, edge_index=None, edge_attr=None):
+        self.x = x
+        self.y = y
+        self.batch = batch
+        self.attr = attr if attr is not None else {}
+        if edge_index is not None:
+            self.edge_index = edge_index
+        if edge_attr is not None:
+            self.edge_attr = edge_attr
+
+    def to(self, device):
+        return self
+
+
+def dense_to_sparse_batch(label, bbox, mask, add_canvas=False):
+    """Dense numpy (label, bbox, mask) -> reference-style sparse batch.
+
+    With ``add_canvas`` the AddCanvasElement transform (`data/util.py:111-125`)
+    is replayed: a [0.5, 0.5, 1, 1] box with label 0 is prepended per graph and
+    element labels shift by +1.
+    """
+    import numpy as np
+    import torch
+
+    xs, ys, bs = [], [], []
+    for i in range(label.shape[0]):
+        v = np.asarray(mask[i], bool)
+        x = np.asarray(bbox[i], np.float32)[v]
+        y = np.asarray(label[i], np.int64)[v]
+        if add_canvas:
+            x = np.concatenate(
+                [np.asarray([[0.5, 0.5, 1.0, 1.0]], np.float32), x], axis=0
+            )
+            y = np.concatenate([np.asarray([0], np.int64), y + 1])
+        xs.append(x)
+        ys.append(y)
+        bs.append(np.full(len(y), i, np.int64))
+    return SparseBatch(
+        x=torch.from_numpy(np.concatenate(xs, axis=0)),
+        y=torch.from_numpy(np.concatenate(ys)),
+        batch=torch.from_numpy(np.concatenate(bs)),
+        attr={"has_canvas_element": add_canvas},
+    )
+
+
 def make_backbone_cfg(
     d_model=64,
     nhead=4,
