@@ -66,17 +66,28 @@ def diffusion_loss(
     lt_state: LtState,
     auxiliary_loss_weight: float = 1e-1,
     is_train: bool = True,
+    t: jnp.ndarray = None,
+    pt: jnp.ndarray = None,
+    xt: jnp.ndarray = None,
 ):
-    """Returns (losses dict, new LtState, aux outputs)."""
+    """Returns (losses dict, new LtState, aux outputs).
+
+    ``t``/``pt``/``xt`` may be injected (together) to pin the timesteps,
+    their importance weights, and the corrupted sequence — used by the
+    reference-parity tests and for deterministic loss probes; the production
+    path leaves them None and samples internally.
+    """
     B, S = seq.shape
     V = q.num_classes
     T = q.num_timesteps
     r_t, r_corrupt, r_model = jax.random.split(rng, 3)
 
-    t, pt = sample_time(r_t, lt_state, B, T)
+    if t is None:
+        t, pt = sample_time(r_t, lt_state, B, T)
 
     log_x_start = log_onehot(seq, V)
-    _, xt = q.corrupt(r_corrupt, seq, t)
+    if xt is None:
+        _, xt = q.corrupt(r_corrupt, seq, t)
 
     # dropout active only in training (rng=None -> deterministic denoiser);
     # x_t flows as ids — the posteriors specialize their observed-x_t terms

@@ -19,7 +19,10 @@ from layoutdm_tpu.models.diffusion.loss import LtState
 
 
 def _np(t):
-    return np.asarray(t.detach().cpu().numpy())
+    # copy=True: .numpy() shares storage with the torch tensor, so an
+    # in-place torch mutation (e.g. optimizer.step()) would silently
+    # corrupt already-imported parameters
+    return np.array(t.detach().cpu().numpy(), copy=True)
 
 
 def load_torch_state_dict(path: str) -> Dict[str, Any]:
@@ -93,6 +96,88 @@ def convert_categorical_transformer(
         layer["norm2"] = layernorm(f"{lp}.norm2")
         params[f"backbone"] = params.get("backbone", {})
         params["backbone"][f"layer{i}"] = layer
+
+    params["head_norm"] = layernorm("head.0")
+    params["head"] = {"kernel": g("head.1.weight").T}
+    return params
+
+
+def convert_categorical_encdec_transformer(
+    sd: Dict,
+    num_layers: int,
+    d_model: int,
+    prefix: str = "",
+) -> Dict:
+    """torch `CategoricalEncDecTransformer` (`nn_lib.py:316-400`, encoder =
+    TransformerEncoder Blocks, decoder = torch nn.TransformerDecoder with
+    norm_first layers) -> flax params for `models.nn
+    .CategoricalEncDecTransformer`."""
+    g = lambda k: _np(sd[prefix + k])
+
+    def dense(k):
+        return {"kernel": g(f"{k}.weight").T, "bias": g(f"{k}.bias")}
+
+    def layernorm(k):
+        return {"scale": g(f"{k}.weight"), "bias": g(f"{k}.bias")}
+
+    def posmod(src):
+        if f"{prefix}{src}.pos_emb" in sd:
+            return {"pos_emb": g(f"{src}.pos_emb")}
+        pos = {
+            "elem_emb": g(f"{src}.elem_emb"),
+            "attr_emb": g(f"{src}.attr_emb"),
+        }
+        if f"{prefix}{src}.bos_emb" in sd:
+            pos["bos_emb"] = g(f"{src}.bos_emb")
+        return pos
+
+    params: Dict[str, Any] = {
+        "input_emb": {"embedding": g("input_cat_emb.weight")},
+        "target_emb": {"embedding": g("target_cat_emb.weight")},
+        "input_pos": posmod("input_pos_emb"),
+        "target_pos": posmod("target_pos_emb"),
+        "encoder": {},
+    }
+    for i in range(num_layers):
+        lp = f"encoder.layers.{i}"
+        params["encoder"][f"layer{i}"] = {
+            "norm1": layernorm(f"{lp}.norm1"),
+            "attn": {
+                "qkv": {
+                    "kernel": g(f"{lp}.self_attn.in_proj_weight").T,
+                    "bias": g(f"{lp}.self_attn.in_proj_bias"),
+                },
+                "out": dense(f"{lp}.self_attn.out_proj"),
+            },
+            "linear1": dense(f"{lp}.linear1"),
+            "linear2": dense(f"{lp}.linear2"),
+            "norm2": layernorm(f"{lp}.norm2"),
+        }
+
+    D = d_model
+    for i in range(num_layers):
+        lp = f"decoder.layers.{i}"
+        w_in = g(f"{lp}.multihead_attn.in_proj_weight")  # (3D, D)
+        b_in = g(f"{lp}.multihead_attn.in_proj_bias")
+        params[f"dec{i}"] = {
+            "norm1": layernorm(f"{lp}.norm1"),
+            "self_attn": {
+                "qkv": {
+                    "kernel": g(f"{lp}.self_attn.in_proj_weight").T,
+                    "bias": g(f"{lp}.self_attn.in_proj_bias"),
+                },
+                "out": dense(f"{lp}.self_attn.out_proj"),
+            },
+            "norm2": layernorm(f"{lp}.norm2"),
+            "cross_attn": {
+                "q": {"kernel": w_in[:D].T, "bias": b_in[:D]},
+                "kv": {"kernel": w_in[D:].T, "bias": b_in[D:]},
+                "out": dense(f"{lp}.multihead_attn.out_proj"),
+            },
+            "norm3": layernorm(f"{lp}.norm3"),
+            "linear1": dense(f"{lp}.linear1"),
+            "linear2": dense(f"{lp}.linear2"),
+        }
 
     params["head_norm"] = layernorm("head.0")
     params["head"] = {"kernel": g("head.1.weight").T}
