@@ -132,6 +132,9 @@ class SamplingConfig:
 class SchedulerConfig:
     name: str = "reduce_lr_on_plateau"  # void | d3pm | reduce_lr_on_plateau | cosine
     warmup_epochs: int = 0
+    # warmup target LR (`reduce_lr_on_plateau_with_warmup.yaml`: 5e-4 from an
+    # optimizer base of 1e-4); None ramps to the optimizer LR itself
+    warmup_lr: Optional[float] = None
     factor: float = 0.5
     patience: int = 2
     # reference `config/scheduler/reduce_lr_on_plateau.yaml`: threshold 1e-2
@@ -166,6 +169,9 @@ class TrainConfig:
     fid_weight_dir: str = "download/fid_weights/FIDNetV3"
     seed: int = 0
     debug: bool = False
+    # opt-in NaN sanitizer (jax_debug_nans); separate from debug because it
+    # forces per-op synchronous dispatch — pathological over the TPU tunnel
+    debug_nans: bool = False
 
 
 @dataclass
@@ -411,7 +417,7 @@ def train_config_from_dict(d: Dict[str, Any]) -> TrainConfig:
         scheduler=_mk(SchedulerConfig, d.get("scheduler", {})),
         training=_mk(TrainingConfig, d.get("training", {})),
     )
-    for k in ("job_dir", "fid_weight_dir", "seed", "debug"):
+    for k in ("job_dir", "fid_weight_dir", "seed", "debug", "debug_nans"):
         if k in d:
             setattr(cfg, k, d[k])
     return cfg

@@ -37,9 +37,13 @@ logger = logging.getLogger(__name__)
 
 
 def train(cfg: TrainConfig) -> Dict:
-    if cfg.debug:
+    if cfg.debug_nans:
         # numeric sanitizer — the moral equivalent of the reference's
-        # always-on `torch.autograd.set_detect_anomaly(True)` (`main.py:33`)
+        # always-on `torch.autograd.set_detect_anomaly(True)` (`main.py:33`).
+        # Its own flag, NOT tied to debug=true: jax_debug_nans forces a
+        # synchronous device round-trip per op, which over the axon TPU
+        # tunnel (~30 ms/dispatch) turns model init into tens of minutes
+        # of futex-wait — measured in round 3 when debug runs "hung".
         jax.config.update("jax_debug_nans", True)
     rng_np = np.random.RandomState(cfg.seed)
     rng = jax.random.PRNGKey(cfg.seed)
@@ -81,6 +85,7 @@ def train(cfg: TrainConfig) -> Dict:
         cfg.scheduler.name,
         cfg.optimizer.lr,
         warmup_epochs=cfg.scheduler.warmup_epochs,
+        warmup_lr=cfg.scheduler.warmup_lr,
         factor=cfg.scheduler.factor,
         patience=cfg.scheduler.patience,
         threshold=cfg.scheduler.threshold,

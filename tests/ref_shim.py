@@ -358,6 +358,14 @@ def install_stubs():
         coco_pkg.coco = coco_mod
         sys.modules["pycocotools"] = coco_pkg
         sys.modules["pycocotools.coco"] = coco_mod
+    if "torch._six" not in sys.modules:
+        # removed from modern torch; `helpers/scheduler.py:8` imports `inf`
+        import math
+
+        six = types.ModuleType("torch._six")
+        six._ref_shim = True
+        six.inf = math.inf
+        sys.modules["torch._six"] = six
     if "pytorch_fid" not in sys.modules:
         mod, fid_score = _make_pytorch_fid()
         sys.modules["pytorch_fid"] = mod

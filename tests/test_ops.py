@@ -130,9 +130,9 @@ def test_config_roundtrip_and_overrides():
 
 
 def test_schedulers():
-    s = ReduceLROnPlateauWithWarmup(1.0, warmup_epochs=2, factor=0.5,
-                                    patience=1)
-    assert s.step(0) == 0.5  # warmup ramp
+    s = ReduceLROnPlateauWithWarmup(0.5, warmup_epochs=2, warmup_lr=1.0,
+                                    factor=0.5, patience=1)
+    assert s.step(0) == 0.75  # additive warmup ramp toward warmup_lr
     assert s.step(1) == 1.0
     assert s.step(2, 1.0) == 1.0
     assert s.step(3, 1.0) == 1.0  # bad 1
@@ -141,8 +141,8 @@ def test_schedulers():
     assert np.isclose(c.step(0), 1.0)
     assert c.step(10) < 1e-6
     d = D3PMScheduler(1.0)
-    assert d.step(5) == 1.0
-    assert np.isclose(d.step(14), 0.5)
+    assert d.step(5) == 1.0  # 1-based post-epoch counter: e=6 <= 10
+    assert np.isclose(d.step(14), 1 / np.sqrt(5))  # e=15 -> 1/sqrt(15-10)
 
 
 def test_seqlen_state(rng):
