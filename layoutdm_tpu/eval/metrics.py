@@ -283,6 +283,9 @@ def compute_maximum_iou(
                     for j in range(M)
                 ]
             ).reshape(N, M)
+        # reference matrix layout (scramble for N != M groups; see
+        # _ref_pairscore_layout) so the matched set is identical
+        scores = _ref_pairscore_layout(scores)
         ii, jj = native.linear_sum_assignment(scores, maximize=True)
         all_scores.append(scores[ii, jj])
     if not all_scores:
@@ -333,6 +336,19 @@ def _bbox_sim(b1, c1, b2, c2, C_S=2.0, C=0.5) -> float:
     return alpha * 2.0 ** (-delta_c - C_S * delta_s)
 
 
+def _ref_pairscore_layout(scores: np.ndarray) -> np.ndarray:
+    """Reproduce the reference's score-matrix construction
+    (`metric.py:462-470`, also `:321-327`): xy-indexed `np.meshgrid(range(N),
+    range(M))` flattened then `.reshape(N, M)`.  For N == M this is a plain
+    transpose (assignment-value invariant); for N != M it SCRAMBLES the
+    matrix — a reference quirk that changes the Hungarian matching, mirrored
+    here so DocSim/max-IoU numbers are comparable with published ones.
+    Given the sane (N, M) matrix, the reference's layout is
+    ``scores.T.reshape(N, M)``."""
+    N, M = scores.shape
+    return scores.T.reshape(N, M)
+
+
 def _docsim_pair(l1: Layout, l2: Layout, max_diff_thresh: int = 3) -> float:
     (b1, c1), (b2, c2) = l1, l2
     N, M = len(b1), len(b2)
@@ -345,6 +361,7 @@ def _docsim_pair(l1: Layout, l2: Layout, max_diff_thresh: int = 3) -> float:
             for j in range(M)
         ]
     ).reshape(N, M)
+    scores = _ref_pairscore_layout(scores)
     ii, jj = linear_sum_assignment(scores, maximize=True)
     return float(scores[ii, jj].mean()) if len(ii) else 0.0
 
@@ -354,9 +371,16 @@ def compute_docsim(
 ) -> float:
     from layoutdm_tpu import native
 
-    scores = native.docsim_pairs(layouts_gt, layouts_gen)
-    if scores is not None:
-        return float(scores.mean())
+    # the native engine computes the sane (N, M) matching, which matches the
+    # reference only for equal-size pairs (see _ref_pairscore_layout); route
+    # unequal-size pairs through the reference-faithful python path
+    sizes_equal = all(
+        len(a[0]) == len(b[0]) for a, b in zip(layouts_gt, layouts_gen)
+    )
+    if sizes_equal:
+        scores = native.docsim_pairs(layouts_gt, layouts_gen)
+        if scores is not None:
+            return float(scores.mean())
     return float(
         np.mean([_docsim_pair(a, b) for a, b in zip(layouts_gt, layouts_gen)])
     )

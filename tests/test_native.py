@@ -72,15 +72,20 @@ def test_compute_maximum_iou_native_consistent(lib, rng):
 def test_docsim_pairs_matches_python(lib, rng):
     from layoutdm_tpu.eval.metrics import _docsim_pair
 
-    def mk(n_layouts):
+    def mk(n_layouts, sizes=None):
         out = []
-        for _ in range(n_layouts):
-            n = rng.randint(1, 6)
+        for k in range(n_layouts):
+            n = sizes[k] if sizes else rng.randint(1, 6)
             b = rng.rand(n, 4).astype(np.float32) * 0.5 + 0.2
             out.append((b, rng.randint(0, 3, n)))
         return out
 
-    a, b = mk(12), mk(12)
+    # native computes the sane (N, M) matching — reference-equal only for
+    # EQUAL-size pairs (the reference scrambles N != M score matrices, see
+    # eval/metrics._ref_pairscore_layout); compute_docsim routes unequal
+    # pairs to the python path, so native only ever sees equal sizes
+    sizes = [int(rng.randint(1, 6)) for _ in range(12)]
+    a, b = mk(12, sizes), mk(12, sizes)
     scores = native.docsim_pairs(a, b)
     for i in range(12):
         np.testing.assert_allclose(
