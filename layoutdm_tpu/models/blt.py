@@ -125,6 +125,8 @@ class BLT(MaskGIT):
         B, S = seq.shape
         C = self.tokenizer.N_var_per_element
         seq_user = seq  # user-specified slots, restored every step
+        # static key-padding mask like the reference (`blt.py:126-159`)
+        padding_mask = (seq == self.pad_id) & mask_user
         illegal = ~jnp.broadcast_to(self._legal[None], (B, S, self.num_classes))
         attr_of_slot = jnp.arange(S) % C
 
@@ -137,7 +139,7 @@ class BLT(MaskGIT):
                 seq, rng = carry
                 rng, r_s = jax.random.split(rng)
                 ratio = (T - (t + 1)) / T
-                logits = self._apply(params, seq)
+                logits = self._apply(params, seq, padding_mask)
                 logits = jnp.where(illegal, -jnp.inf, logits)
                 seq_pred = sample_tokens(
                     r_s, logits, sampling.name, sampling.temperature,

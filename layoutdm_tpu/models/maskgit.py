@@ -25,8 +25,13 @@ from layoutdm_tpu.ops.samplers import gumbel_noise, sample_tokens
 from layoutdm_tpu.tokenizer.sequence import LayoutSequenceTokenizer
 
 
-def mask_schedule(ratio: jnp.ndarray, schedule: str = "cosine") -> jnp.ndarray:
-    """Mask-rate schedule R(ratio) (`maskgit.py:33-71`)."""
+def mask_schedule(
+    ratio: jnp.ndarray,
+    schedule: str = "cosine",
+    total_unknown: Optional[int] = None,
+) -> jnp.ndarray:
+    """Mask-rate schedule R(ratio) (`maskgit.py:33-71`); ``total_unknown``
+    feeds the log/exp variants like the reference."""
     if schedule == "linear":
         r = 1.0 - ratio
     elif schedule == "cosine":
@@ -37,6 +42,10 @@ def mask_schedule(ratio: jnp.ndarray, schedule: str = "cosine") -> jnp.ndarray:
         r = 1.0 - ratio**3
     elif schedule == "sqrt":
         r = 1.0 - jnp.sqrt(ratio)
+    elif schedule == "log":
+        r = -jnp.log2(ratio) / jnp.log2(float(total_unknown))
+    elif schedule == "exp":
+        r = 1.0 - jnp.exp2(-jnp.log2(float(total_unknown)) * (1.0 - ratio))
     else:
         raise NotImplementedError(schedule)
     return jnp.clip(r, 1e-6, 1.0)
@@ -168,6 +177,11 @@ class MaskGIT:
     ):
         B, S = seq0.shape
 
+        # static key-padding mask from the user-fixed PAD slots, like the
+        # reference's src_key_padding_mask_user (`maskgit.py:166-176,200-204`)
+        # — training already masks attention this way; decode must agree
+        padding_mask = (seq0 == self.pad_id) & mask_user
+
         # PAD never predicted when the element count is known
         # (`maskgit.py:207-216`); known_count is a traced scalar bool
         elem_known = seq0 != self.pad_id
@@ -189,7 +203,7 @@ class MaskGIT:
             temp_t = sampling.temperature * (1.0 - float_t)
             is_masked = seq == self.mask_id
 
-            logits = self._apply(params, seq)
+            logits = self._apply(params, seq, padding_mask)
             logits = jnp.where(illegal, -jnp.inf, logits)
             seq_pred = sample_tokens(
                 r_s, logits, sampling.name, sampling.temperature,
