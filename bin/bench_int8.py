@@ -93,8 +93,8 @@ def main():
             def body(a, _):
                 sa = jnp.max(jnp.abs(a)).astype(jnp.float32) / 127.0
                 q = jnp.clip(
-                    (a.astype(jnp.float32) / sa), -127, 127
-                ).astype(jnp.int8)
+                    jnp.round(a.astype(jnp.float32) / sa), -127, 127
+                ).astype(jnp.int8)  # round-to-nearest like _int8_dense
                 h = jax.lax.dot(q, b1i, preferred_element_type=jnp.int32)
                 hf = h.astype(jnp.bfloat16)
                 sh = jnp.max(jnp.abs(hf)).astype(jnp.float32) / 127.0

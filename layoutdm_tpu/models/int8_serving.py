@@ -215,10 +215,17 @@ def calibrate_scales(
     }
 
 
-def can_use_int8(bb: BackboneConfig, pos_emb: str = "elem_attr") -> bool:
+def can_use_int8(
+    bb: BackboneConfig, pos_emb: str = "elem_attr", lookahead: bool = True
+) -> bool:
     import os
 
     if os.environ.get("LAYOUTDM_TPU_INT8") != "1":
+        return False
+    if not lookahead:
+        # mirror_forward has no attention-mask support: a causal
+        # (lookahead=False) config would silently drop the causal mask and
+        # produce wrong logits — refuse loudly here instead
         return False
     if bb.timestep_type is None or "adalayernorm" not in bb.timestep_type:
         return False

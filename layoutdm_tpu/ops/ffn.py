@@ -124,8 +124,11 @@ def fused_ln_ffn_residual(
         interpret=interpret,
     )(
         x2,
-        ln_scale.reshape(1, D).astype(dt),
-        ln_bias.reshape(1, D).astype(dt),
+        # scale/bias stay f32: flax's nn.LayerNorm consumes f32 params even
+        # under bf16 compute, and the kernel promotes to f32 anyway — casting
+        # to dt here would deviate from the XLA path's param precision
+        ln_scale.reshape(1, D).astype(jnp.float32),
+        ln_bias.reshape(1, D).astype(jnp.float32),
         w1.astype(dt),
         b1.reshape(1, F).astype(dt),
         w2.astype(dt),

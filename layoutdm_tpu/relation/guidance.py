@@ -67,10 +67,16 @@ def expected_bbox(
     S = S_tok // C
     bb = tokenizer.bbox_tokenizer
 
+    # (B, S, C, Vf) view: the per-coordinate logits become STATIC slices of
+    # a reshape instead of strided slices of log_prob — the strided form's
+    # backward is a TPU scatter (x3 grad steps x4 coords inside the sampling
+    # scan), the reshape+slice form's backward is a cheap zero-pad
+    lp4 = log_prob.reshape(B, S, C, Vf)
+
     coords = []
     for k, key in enumerate(bb.var_order):
         sl = tokenizer.get_slice(key)
-        logits = log_prob[:, k + 1 :: C, sl]  # (B, S, nbins)
+        logits = lp4[:, :, k + 1, sl]  # (B, S, nbins)
         probs = jax.nn.softmax(logits, axis=-1)
         canonical = ("x", "y", "w", "h").index(key)
         centers = jnp.asarray(bb.centers[canonical])

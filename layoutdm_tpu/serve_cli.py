@@ -79,6 +79,13 @@ class LayoutService:
         # one compiled program — an open set would let clients compile-bomb
         # the service)
         self.ladder = tuple(sorted({int(t) for t in timestep_ladder}))
+        T_train = self.model.q.num_timesteps
+        for t in self.ladder:
+            if not (0 < t <= T_train):
+                raise ValueError(
+                    f"timestep_ladder rung {t} out of range: must satisfy "
+                    f"0 < t <= num_timesteps ({T_train}) of the trained model"
+                )
         self._counter = 0
         # ONE compiled program per (t_eval, cond-mode) covering
         # PRNGKey + reverse chain + tokenizer.decode.  Composing these
@@ -205,6 +212,10 @@ class LayoutService:
         return {
             "layouts": layouts,
             "ms_per_sample": round(dt * 1e3 / self.B, 2),
+            # the seed actually consumed: int(seed) & 0x7FFFFFFF aliases
+            # client seeds differing only in sign/high bits, so determinism
+            # claims must reference THIS value, not the request's
+            "seed": int(seed32),
         }
 
     def info(self) -> Dict:

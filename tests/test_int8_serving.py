@@ -128,3 +128,5 @@ def test_gate(monkeypatch):
     assert not can_use_int8(BackboneConfig(timestep_type=None))
     assert not can_use_int8(BackboneConfig(timestep_type="adalayernorm_mlp"))
     assert not can_use_int8(bb, pos_emb="default")
+    # causal configs must refuse: mirror_forward has no attn-mask support
+    assert not can_use_int8(bb, lookahead=False)
