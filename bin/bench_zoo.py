@@ -117,7 +117,57 @@ def main():
         })
         print(ladder[-1])
 
-    print(json.dumps({"zoo": rows, "flagship_skip_step": ladder}))
+    # relation-guided flagship: CLG-LO gradient guidance inside the scan
+    # (3 SGD steps x 4 coords per reverse step) — the overhead vs the
+    # unconditional T=100 row above is the cost of constraint steering
+    import numpy as np
+
+    from layoutdm_tpu.data.transforms import compose_transform
+    from layoutdm_tpu.relation.guidance import (
+        RelationData, make_relation_guidance,
+    )
+    from layoutdm_tpu.tasks import get_cond, to_sampler_cond
+
+    S = tokenizer.max_elements
+    rng_np = np.random.RandomState(0)
+    n_el = rng_np.randint(1, S + 1, size=(B,))
+    mask = np.arange(S)[None, :] < n_el[:, None]
+    label = rng_np.randint(0, tokenizer.num_categories, (B, S)).astype(np.int32)
+    label *= mask
+    bbox = np.stack(
+        [
+            rng_np.uniform(0.2, 0.8, (B, S)),
+            rng_np.uniform(0.2, 0.8, (B, S)),
+            rng_np.uniform(0.05, 0.4, (B, S)),
+            rng_np.uniform(0.05, 0.4, (B, S)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    batch = {"label": label, "bbox": bbox, "mask": mask}
+    cond = get_cond(jax.random.PRNGKey(3), batch, tokenizer, "relation")
+    sc = to_sampler_cond(cond, tokenizer, sampling)
+    transform = compose_transform(
+        ["AddCanvasElement", "AddRelationConstraints(edge_ratio=0.1, seed=0)"]
+    )
+    bw = transform(rng_np, dict(batch))
+    sc = sc.replace(relation=tuple(RelationData.from_batch(bw)))
+    guidance = make_relation_guidance(tokenizer, sampling)
+    fn = jax.jit(
+        lambda r: model.sample_ids(
+            params, r, B, cond=sc, sampling=sampling, guidance_fn=guidance
+        )
+    )
+    sec = timed_sample(fn, jax.random.PRNGKey(1))
+    relation_row = {
+        "experiment": "layoutdm+relation_guidance",
+        "ms_per_batch": round(sec * 1000, 1),
+        "layouts_per_sec": round(B / sec, 1),
+    }
+    print(relation_row)
+
+    print(json.dumps({
+        "zoo": rows, "flagship_skip_step": ladder, "relation": relation_row,
+    }))
 
 
 if __name__ == "__main__":

@@ -130,6 +130,12 @@ class SamplingConfig:
 
 @dataclass
 class SchedulerConfig:
+    # Default matches the reference (`config/scheduler/
+    # reduce_lr_on_plateau.yaml`) for parity.  RECOMMENDATION for short
+    # runs: `scheduler.name=cosine scheduler.warmup_epochs=5` — at toy
+    # scale (synthetic-max25, 80 epochs) plateau's early LR collapse gives
+    # FID 45-113 across seeds while cosine+warmup reaches FID 17.2 +- 0.3
+    # over 3 seeds (docs/STATUS.md, "Scheduler quality study").
     name: str = "reduce_lr_on_plateau"  # void | d3pm | reduce_lr_on_plateau | cosine
     warmup_epochs: int = 0
     # warmup target LR (`reduce_lr_on_plateau_with_warmup.yaml`: 5e-4 from an

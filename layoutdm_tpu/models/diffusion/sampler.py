@@ -29,7 +29,7 @@ import numpy as np
 
 from layoutdm_tpu.configs import SamplingConfig
 from layoutdm_tpu.ops.log_math import LOG_EPS, log_onehot
-from layoutdm_tpu.ops.samplers import sample_tokens
+from layoutdm_tpu.ops.samplers import sample_tokens, sample_tokens_per_row
 
 
 @flax.struct.dataclass
@@ -128,9 +128,22 @@ def sample_chain(
 
     ``guidance_fn(model_log_prob, t, cond) -> model_log_prob`` is the hook for
     relation-constraint gradient guidance; it runs INSIDE the scan.
+
+    ``rng`` may be ONE key (whole-batch noise, the CLI path) or a
+    (B,)-batched key array (one key per row).  In the per-row regime each
+    row's trajectory depends only on its own key — rows from different
+    serving requests can then share one compiled program (request
+    coalescing) without coupling their randomness to batch composition.
     """
     V = q.num_classes
     B, S = cond.seq.shape
+
+    is_typed_key = jnp.issubdtype(rng.dtype, jax.dtypes.prng_key)
+    per_row = rng.ndim == (1 if is_typed_key else 2)
+    if per_row and rng.shape[0] != B:
+        raise ValueError(
+            f"per-row rng batch {rng.shape[0]} != cond batch {B}"
+        )
 
     model_t, post_t = timestep_ladder(
         q.num_timesteps, num_timesteps_eval, sampling.time_difference
@@ -151,7 +164,11 @@ def sample_chain(
     def step(carry, xs):
         ids, rng = carry
         mt, pt = xs
-        rng, r_samp = jax.random.split(rng)
+        if per_row:
+            pair = jax.vmap(lambda k: jax.random.split(k))(rng)
+            rng, r_samp = pair[:, 0], pair[:, 1]
+        else:
+            rng, r_samp = jax.random.split(rng)
         t_b = jnp.full((B,), mt, jnp.int32)
 
         # rng=None -> denoiser runs deterministic (dropout off), like the
@@ -175,7 +192,8 @@ def sample_chain(
             mlp,
         )
 
-        new_ids = sample_tokens(
+        sampler = sample_tokens_per_row if per_row else sample_tokens
+        new_ids = sampler(
             r_samp,
             mlp,
             name=sampling.name,

@@ -77,3 +77,24 @@ def sample_tokens(
         raise NotImplementedError(name)
 
     return jax.random.categorical(rng, scaled, axis=-1)
+
+
+def sample_tokens_per_row(
+    rngs: jax.Array,
+    logits: jnp.ndarray,
+    name: str = "random",
+    temperature: float = 1.0,
+    top_k: int = 5,
+    top_p: float = 0.9,
+) -> jnp.ndarray:
+    """Row-seeded variant: ``rngs`` is a (B,)-batched key array and row i's
+    draw depends ONLY on ``rngs[i]`` and ``logits[i]`` — not on its
+    batch-mates.  This is what makes server-side request coalescing sound:
+    rows from different requests can share one compiled program while each
+    request keeps seed-determinism independent of batch composition."""
+    return jax.vmap(
+        lambda k, lg: sample_tokens(
+            k, lg, name=name, temperature=temperature, top_k=top_k,
+            top_p=top_p,
+        )
+    )(rngs, logits)

@@ -42,11 +42,29 @@ def _join(d: str, name: str) -> str:
     return d.rstrip("/") + "/" + name if _is_remote(d) else os.path.join(d, name)
 
 
+def _write_atomic(path: str, data: bytes):
+    """Crash-safe write: a kill mid-write must never leave a truncated
+    checkpoint at `path` (a truncated msgpack makes resume impossible —
+    observed in practice when a training run was killed during its
+    epoch-end state save).  Local files go through temp + os.replace;
+    remote filesystems (gs:// etc.) already commit objects atomically on
+    close, so they write direct."""
+    if _is_remote(path):
+        with _open(path, "wb") as f:
+            f.write(data)
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def save_params(params: Any, ckpt_dir: str, best_or_final: str = "best"):
     _ensure_dir(ckpt_dir)
     path = _join(ckpt_dir, f"{best_or_final}_model.msgpack")
-    with _open(path, "wb") as f:
-        f.write(serialization.to_bytes(jax.device_get(params)))
+    _write_atomic(path, serialization.to_bytes(jax.device_get(params)))
     return path
 
 
@@ -64,8 +82,7 @@ def load_params(template: Any, ckpt_dir: str, best_or_final: str = "best"):
 def save_train_state(state: Any, ckpt_dir: str, name: str = "last_state"):
     _ensure_dir(ckpt_dir)
     path = _join(ckpt_dir, f"{name}.msgpack")
-    with _open(path, "wb") as f:
-        f.write(serialization.to_bytes(jax.device_get(state)))
+    _write_atomic(path, serialization.to_bytes(jax.device_get(state)))
     return path
 
 

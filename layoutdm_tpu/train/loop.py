@@ -188,17 +188,19 @@ def train(cfg: TrainConfig) -> Dict:
                     state.lt_state, job_dir, name="aux_state"
                 )
             ckpt.save_train_state(state, job_dir)
-            with open(meta_path, "w") as f:
-                from layoutdm_tpu.train.schedulers import scheduler_state
+            from layoutdm_tpu.train.schedulers import scheduler_state
 
-                json.dump(
-                    {
-                        "epoch": epoch,
-                        "best_val": best_val,
-                        "scheduler": scheduler_state(scheduler),
-                    },
-                    f,
-                )
+            meta = {
+                "epoch": epoch,
+                "best_val": best_val,
+                "scheduler": scheduler_state(scheduler),
+            }
+            # resume.json is the commit record for the state files above:
+            # written last, atomically, so a kill anywhere in the save
+            # sequence leaves a consistent (state, meta) pair on disk
+            with open(meta_path + ".tmp", "w") as f:
+                json.dump(meta, f)
+            os.replace(meta_path + ".tmp", meta_path)
 
             # periodic sample rendering (`main.py:128-142`)
             if (

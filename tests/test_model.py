@@ -142,6 +142,23 @@ def test_sampling_is_deterministic_given_key(model_and_params):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_per_row_keys_batch_composition_independent(model_and_params):
+    """Per-row keyed sampling: a row's output depends only on ITS key, not
+    on which rows share the batch — the property request coalescing in the
+    server relies on (`serve_cli`)."""
+    model, params = model_and_params
+    keys = jnp.stack([jax.random.PRNGKey(s) for s in (11, 22, 33, 44)])
+
+    full = model.sample_ids(params, keys, batch_size=4)
+    # same keys, permuted rows
+    perm = jnp.asarray([2, 0, 3, 1])
+    shuffled = model.sample_ids(params, keys[perm], batch_size=4)
+    np.testing.assert_array_equal(np.asarray(full)[perm], np.asarray(shuffled))
+    # a row alone... per-row batches of 2 with different partners
+    pair = model.sample_ids(params, keys[:2], batch_size=2)
+    np.testing.assert_array_equal(np.asarray(full)[:2], np.asarray(pair))
+
+
 def test_intermediate_results(model_and_params):
     model, params = model_and_params
     ids, inter = model.sample_ids(

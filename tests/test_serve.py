@@ -11,12 +11,10 @@ import pytest
 
 
 @pytest.fixture(scope="module")
-def server_url(tmp_path_factory):
-    """Train a tiny job (debug), then serve it."""
-    import jax
-
+def service(tmp_path_factory):
+    """Train a tiny job (debug), then build the service around it."""
     from layoutdm_tpu.configs import build_train_config
-    from layoutdm_tpu.serve_cli import LayoutService, make_handler
+    from layoutdm_tpu.serve_cli import LayoutService
     from layoutdm_tpu.train.loop import train
 
     job_dir = str(tmp_path_factory.mktemp("serve") / "job")
@@ -32,8 +30,21 @@ def server_url(tmp_path_factory):
     cfg.backbone.diffusion_step = 4
     train(cfg)
 
-    service = LayoutService(job_dir, max_batch_size=4, timestep_ladder=(2,))
-    httpd = HTTPServer(("127.0.0.1", 0), make_handler(service))
+    svc = LayoutService(
+        job_dir, max_batch_size=4, timestep_ladder=(2,),
+        coalesce_window_ms=100.0,
+    )
+    yield svc
+    svc.close()
+
+
+@pytest.fixture(scope="module")
+def server_url(service):
+    """Threaded HTTP front over the shared service: concurrent requests
+    queue at the coalescer, not in the socket backlog."""
+    from layoutdm_tpu.serve_cli import LayoutHTTPServer, make_handler
+
+    httpd = LayoutHTTPServer(("127.0.0.1", 0), make_handler(service))
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
@@ -110,6 +121,148 @@ def test_generate_timestep_ladder(server_url):
         {"task": "unconditional", "batch_size": 2, "num_timesteps": 3},
     )
     assert code == 400 and "ladder" in out["error"]
+
+
+def test_generate_relation(server_url):
+    """Relation task over HTTP: client-specified pairwise constraints steer
+    CLG-LO guidance; the response reports the violation rate."""
+    layout = {"label": [1, 2]}  # bbox optional: relation conditions on labels
+    relations = [
+        {"src": "canvas", "dst": 0, "loc": "top"},
+        {"src": 0, "dst": 1, "size": "larger", "loc": "bottom"},
+    ]
+    code, out = _post(
+        server_url,
+        {"task": "relation", "batch_size": 2, "seed": 5, "layout": layout,
+         "relations": relations},
+    )
+    assert code == 200
+    assert len(out["layouts"]) == 2
+    for lay in out["layouts"]:
+        assert sorted(lay["label"]) == [1, 2]
+    assert 0.0 <= out["violation_rate"] <= 1.0
+    # deterministic like every other task
+    again = _post(
+        server_url,
+        {"task": "relation", "batch_size": 2, "seed": 5, "layout": layout,
+         "relations": relations},
+    )
+    assert again[1]["layouts"] == out["layouts"]
+
+
+def test_generate_relation_bad_requests(server_url):
+    layout = {"label": [1, 2]}
+    # missing relations
+    code, out = _post(
+        server_url, {"task": "relation", "layout": layout})
+    assert code == 400 and "relations" in out["error"]
+    # dst out of range
+    code, out = _post(
+        server_url,
+        {"task": "relation", "layout": layout,
+         "relations": [{"src": 0, "dst": 9, "loc": "left"}]},
+    )
+    assert code == 400 and "out of range" in out["error"]
+    # neither size nor loc
+    code, out = _post(
+        server_url,
+        {"task": "relation", "layout": layout,
+         "relations": [{"src": 0, "dst": 1}]},
+    )
+    assert code == 400 and "size" in out["error"]
+    # canvas as dst
+    code, out = _post(
+        server_url,
+        {"task": "relation", "layout": layout,
+         "relations": [{"src": 0, "dst": "canvas", "loc": "left"}]},
+    )
+    assert code == 400 and "canvas" in out["error"]
+    # unknown vocabulary
+    code, out = _post(
+        server_url,
+        {"task": "relation", "layout": layout,
+         "relations": [{"src": 0, "dst": 1, "loc": "beneath"}]},
+    )
+    assert code == 400 and "beneath" in out["error"]
+
+
+def test_concurrent_requests(server_url):
+    """The single-threaded server under concurrent clients: every request is
+    answered (queuing rides the listen backlog) and per-seed determinism
+    holds regardless of arrival order."""
+    import threading
+
+    results = {}
+
+    def worker(i):
+        seed = 100 + (i % 3)  # collide seeds across threads on purpose
+        results[i] = (seed, _post(
+            server_url,
+            {"task": "unconditional", "batch_size": 2, "seed": seed},
+        ))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert len(results) == 8
+    by_seed = {}
+    for i, (seed, (code, out)) in results.items():
+        assert code == 200, out
+        assert len(out["layouts"]) == 2
+        by_seed.setdefault(seed, out["layouts"])
+        # same seed -> identical layouts, no matter which thread/when
+        assert out["layouts"] == by_seed[seed]
+
+
+def test_coalescing_merges_concurrent_requests(service):
+    """Concurrent same-lane requests share one compiled program run, and a
+    coalesced row equals the same request run alone — the end-to-end
+    batch-composition-independence property of per-row seeding."""
+    solo = service.generate("unconditional", 1, seed=777, layout=None)
+    runs0 = service.runs
+    results = {}
+
+    def worker(i):
+        results[i] = service.generate(
+            "unconditional", 1, seed=777 + i, layout=None
+        )
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert len(results) == 4
+    # 4 batch-1 requests fit one width-4 program: at least one merge
+    assert service.runs - runs0 < 4
+    # the coalesced seed-777 row is identical to its solo run
+    assert results[0]["layouts"] == solo["layouts"]
+
+
+def test_mixed_tasks_coalesce_correctly(service):
+    """c and cwh rows share the conditional lane; each keeps its own
+    constraints when coalesced into one run."""
+    layout = {"label": [1, 2], "bbox": [[0.5, 0.5, 0.2, 0.2],
+                                        [0.3, 0.3, 0.4, 0.1]]}
+    results = {}
+
+    def worker(task):
+        results[task] = service.generate(task, 1, seed=9, layout=layout)
+
+    threads = [threading.Thread(target=worker, args=(t,))
+               for t in ("c", "cwh")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    for task in ("c", "cwh"):
+        lay = results[task]["layouts"][0]
+        assert sorted(lay["label"]) == [1, 2]
+    # cwh also pins sizes (w, h quantized by the tokenizer)
+    whs = sorted(tuple(b[2:]) for b in results["cwh"]["layouts"][0]["bbox"])
+    assert len(whs) == 2
 
 
 def test_generate_bad_requests(server_url):

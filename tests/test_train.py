@@ -1,6 +1,8 @@
 """Integration: data-parallel train step over the virtual 8-device CPU mesh,
 loss decreases on synthetic data, checkpoint round-trips, dryrun entry."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -83,6 +85,50 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(loaded_state.lt_state.history),
         np.asarray(state.lt_state.history),
     )
+
+
+def test_checkpoint_write_is_atomic(tmp_path, monkeypatch):
+    """A kill mid-save must never corrupt the previous checkpoint: saves go
+    through temp + os.replace, so the pre-crash state file stays readable
+    (a truncated msgpack at last_state.msgpack makes resume impossible)."""
+    from layoutdm_tpu.train import checkpoint as ckpt
+
+    model = tiny_model()
+    optimizer = make_optimizer()
+    state = init_train_state(model, optimizer, jax.random.PRNGKey(0))
+    path = ckpt.save_train_state(state, str(tmp_path))
+
+    # simulate a kill partway through the NEXT save's write()
+    real_open = open
+
+    class _Killed(RuntimeError):
+        pass
+
+    def dying_open(p, mode="r", *a, **k):
+        f = real_open(p, mode, *a, **k)
+        if str(p).endswith(".tmp") and "w" in mode:
+            real_write = f.write
+
+            def write(data):
+                real_write(data[: len(data) // 2])
+                raise _Killed()
+
+            f.write = write
+        return f
+
+    import builtins
+
+    monkeypatch.setattr(builtins, "open", dying_open)
+    with pytest.raises(_Killed):
+        ckpt.save_train_state(state, str(tmp_path))
+    monkeypatch.undo()
+
+    # the original file is intact and still loads
+    loaded = ckpt.load_train_state(state, str(tmp_path))
+    np.testing.assert_allclose(
+        np.asarray(loaded.step), np.asarray(state.step)
+    )
+    assert os.path.getsize(path) > 0
 
 
 def test_dryrun_multichip_entry():
