@@ -373,17 +373,29 @@ def compute_docsim(
 
     # the native engine computes the sane (N, M) matching, which matches the
     # reference only for equal-size pairs (see _ref_pairscore_layout); route
-    # unequal-size pairs through the reference-faithful python path
-    sizes_equal = all(
-        len(a[0]) == len(b[0]) for a, b in zip(layouts_gt, layouts_gen)
+    # ONLY the unequal-size pairs through the reference-faithful python
+    # path and keep the C++ fast path for the rest (realistic batches are
+    # rarely all-equal, so an all-or-nothing gate would drop the fast path
+    # for the whole batch over a single odd pair)
+    pairs = list(zip(layouts_gt, layouts_gen))
+    eq = [i for i, (a, b) in enumerate(pairs) if len(a[0]) == len(b[0])]
+    nat = (
+        native.docsim_pairs(
+            [layouts_gt[i] for i in eq], [layouts_gen[i] for i in eq]
+        )
+        if eq
+        else None
     )
-    if sizes_equal:
-        scores = native.docsim_pairs(layouts_gt, layouts_gen)
-        if scores is not None:
-            return float(scores.mean())
-    return float(
-        np.mean([_docsim_pair(a, b) for a, b in zip(layouts_gt, layouts_gen)])
-    )
+    if nat is None:  # native engine unavailable: python for every pair
+        eq = []
+    scores = np.empty(len(pairs), np.float64)
+    if eq:
+        scores[eq] = np.asarray(nat)
+    eq_set = set(eq)
+    for i, (a, b) in enumerate(pairs):
+        if i not in eq_set:
+            scores[i] = _docsim_pair(a, b)
+    return float(scores.mean())
 
 
 # ---------------------------------------------------------------------------

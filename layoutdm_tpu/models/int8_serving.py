@@ -239,6 +239,15 @@ def make_int8_predict_start(model, params, calib_batch: int = 64, rng=None):
     GEMMs: quantizes weights once, calibrates activation scales on one
     batch of model-sampled noise levels, and wraps the mirror in the
     same log-softmax/MASK-lane head as `make_predict_start`."""
+    # the guard that matters lives HERE, where the model's real attention
+    # mode is in hand (can_use_int8's `lookahead` param relies on callers
+    # already knowing the flag): mirror_forward has no attention-mask
+    # support, so a causal transformer would silently lose its mask
+    if not getattr(model.net, "lookahead", True):
+        raise ValueError(
+            "int8 serving path requires a mask-free (lookahead) "
+            "transformer; this model's net is causal"
+        )
     bb = model.backbone_cfg
     V, S = model.num_classes, model.seq_len
     rng = rng if rng is not None else jax.random.PRNGKey(0)

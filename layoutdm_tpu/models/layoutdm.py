@@ -27,6 +27,12 @@ from layoutdm_tpu.tokenizer.sequence import LayoutSequenceTokenizer
 
 
 class LayoutDM:
+    # serving capability flags (`serve_cli`): the diffusion sampler accepts
+    # (B,)-batched per-row PRNG keys (request coalescing) and a guidance_fn
+    # hook (relation task); the baseline zoo supports neither
+    supports_per_row_keys = True
+    supports_guidance = True
+
     def __init__(
         self,
         backbone: BackboneConfig,

@@ -110,8 +110,12 @@ class MaskGIT:
         seq, mask = tokens["seq"], tokens["mask"]
         B = seq.shape[0]
         r_ratio, r_mask, r_drop = jax.random.split(rng, 3)
+        # total_unknown = all maskable positions; only the log/exp variants
+        # consume it (the reference never binds it — `maskgit.py:110` — so
+        # those variants crash there; here they are usable)
         ratio = mask_schedule(
-            jax.random.uniform(r_ratio, (B,)), self.mask_schedule_name
+            jax.random.uniform(r_ratio, (B,)), self.mask_schedule_name,
+            total_unknown=self.seq_len,
         )
         loss_mask = sample_mask(r_mask, mask, ratio)
         masked = jnp.where(loss_mask, self.mask_id, seq)
@@ -198,7 +202,8 @@ class MaskGIT:
             rng, r_s, r_g = jax.random.split(rng, 3)
             float_t = (t + 1) / T
             ratio = mask_schedule(
-                jnp.asarray(float_t), self.mask_schedule_name
+                jnp.asarray(float_t), self.mask_schedule_name,
+                total_unknown=self.seq_len,
             )
             temp_t = sampling.temperature * (1.0 - float_t)
             is_masked = seq == self.mask_id

@@ -79,9 +79,6 @@ COND_TASKS = ("c", "cwh", "partial", "refinement", "relation")
 _SIZE_REL = {"smaller": 1, "equal": 2, "larger": 3}  # RelSize values
 _LOC_REL = {"left": 5, "top": 6, "right": 7, "bottom": 8, "center": 9}
 
-_CANVAS_BOX = np.asarray([0.5, 0.5, 1.0, 1.0], np.float32)
-
-
 def _parse_relations(relations, n_elements: int, max_edges: int):
     """Client relation list -> padded (edge_index, edge_attr, edge_mask)
     arrays over the canvas-prepended element indexing (canvas=0, client
@@ -99,22 +96,29 @@ def _parse_relations(relations, n_elements: int, max_edges: int):
         if not isinstance(r, dict):
             raise ValueError(f"relation {k}: expected an object")
         src, dst = r.get("src"), r.get("dst")
-        if src == "canvas":
-            si = 0
-        else:
-            si = int(src) + 1 if src is not None else None
         if dst == "canvas":
             raise ValueError(
                 f"relation {k}: 'canvas' is only valid as src (constraints "
                 "place elements relative to the canvas, not vice versa)"
             )
-        di = int(dst) + 1 if dst is not None else None
-        for name, v in (("src", si), ("dst", di)):
-            if v is None or not (0 <= v <= n_elements):
+
+        def _element_index(name, v):
+            # validate the RAW client value: a negative index (e.g. -1)
+            # must be rejected here, not silently wrap into the canvas
+            # slot after the +1 shift below
+            if (
+                not isinstance(v, int)
+                or isinstance(v, bool)
+                or not (0 <= v < n_elements)
+            ):
                 raise ValueError(
-                    f"relation {k}: {name} out of range (0..{n_elements - 1} "
-                    "or 'canvas')"
+                    f"relation {k}: {name} out of range "
+                    f"(0..{n_elements - 1} or 'canvas')"
                 )
+            return v + 1  # canvas-prepended indexing: element i -> i+1
+
+        si = 0 if src == "canvas" else _element_index("src", src)
+        di = _element_index("dst", dst)
         if si == di:
             raise ValueError(f"relation {k}: src == dst")
         size, loc = r.get("size"), r.get("loc")
@@ -166,14 +170,19 @@ class LayoutHTTPServer(ThreadingHTTPServer):
     request_queue_size = 128
 
 
+class ServiceOverloaded(RuntimeError):
+    """Raised when the coalescer queue is full (mapped to HTTP 503)."""
+
+
 class _Pending:
     """One request's rows queued at the coalescer."""
 
-    __slots__ = ("cond", "seeds", "event", "result", "error", "sec")
+    __slots__ = ("cond", "seeds", "seed", "event", "result", "error", "sec")
 
-    def __init__(self, cond, seeds):
+    def __init__(self, cond, seeds, seed=0):
         self.cond = cond  # host-numpy SamplerCond, leading dim = n rows
         self.seeds = seeds  # (n,) uint32
+        self.seed = int(seed)  # the request-level seed (whole-batch lanes)
         self.event = threading.Event()
         self.result = None  # decoded dict sliced to this request's rows
         self.error = None
@@ -192,6 +201,8 @@ class LayoutService:
         timestep_ladder=(),
         max_edges: int = 32,
         coalesce_window_ms: float = 2.0,
+        request_timeout_s: float = 600.0,
+        max_queued_requests: int = 256,
     ):
         from layoutdm_tpu.factory import build_model, build_tokenizer
         from layoutdm_tpu.train import checkpoint as ckpt
@@ -208,14 +219,26 @@ class LayoutService:
         # one compiled program — an open set would let clients compile-bomb
         # the service)
         self.ladder = tuple(sorted({int(t) for t in timestep_ladder}))
-        T_train = self.model.q.num_timesteps
+        # diffusion models can't evaluate beyond their trained T; the
+        # iterative baselines (MaskGIT/BLT) take any positive step count
+        T_train = getattr(getattr(self.model, "q", None), "num_timesteps", None)
         for t in self.ladder:
-            if not (0 < t <= T_train):
+            if t < 1 or (T_train is not None and t > T_train):
                 raise ValueError(
                     f"timestep_ladder rung {t} out of range: must satisfy "
                     f"0 < t <= num_timesteps ({T_train}) of the trained model"
                 )
         self._counter = 0
+        self._counter_lock = threading.Lock()  # handlers run threaded
+        self.request_timeout_s = float(request_timeout_s)
+        self.max_queued_requests = int(max_queued_requests)
+        # models whose sampler consumes (B,)-batched per-row keys
+        # (the diffusion sampler's `sample_chain`) can coalesce requests;
+        # the baseline zoo splits a single whole-batch key internally, so
+        # those lanes run one request per program (pre-coalescer semantics)
+        self._per_row = bool(
+            getattr(self.model, "supports_per_row_keys", False)
+        )
         # ONE compiled program per lane (t_eval, guided, init-mode) covering
         # per-row key derivation + reverse chain + tokenizer.decode.
         # Composing these eagerly costs a dispatch per jnp op — on a
@@ -278,12 +301,22 @@ class LayoutService:
             with self._cv:
                 take, rest, used = [], [], 0
                 for ln, p in self._queue:
-                    if ln == lane and used + len(p.seeds) <= self.B:
+                    if (
+                        ln == lane
+                        and used + len(p.seeds) <= self.B
+                        # whole-batch-keyed models: one request per run, so
+                        # a request's randomness never depends on batch-mates
+                        and (self._per_row or not take)
+                    ):
                         take.append(p)
                         used += len(p.seeds)
                     else:
                         rest.append((ln, p))
                 self._queue = rest
+            if not take:
+                # every queued request for this lane was withdrawn (client
+                # timeout) between pickup and packing — nothing to run
+                continue
             try:
                 self._run_batch(lane, take)
             except BaseException as e:
@@ -335,13 +368,28 @@ class LayoutService:
             t_eval, guided = lane[0], lane[1]
             guidance_fn = self._guidance if guided else None
 
-            def run(params, seeds, cond):
-                keys = jax.vmap(jax.random.PRNGKey)(seeds)
-                ids = self.model.sample_ids(
-                    params, keys, self.B, cond=cond, sampling=self.sampling,
-                    num_timesteps_eval=t_eval, guidance_fn=guidance_fn,
-                )
-                return self.tokenizer.decode(ids)
+            if self._per_row:
+
+                def run(params, seeds, cond):
+                    keys = jax.vmap(jax.random.PRNGKey)(seeds)
+                    ids = self.model.sample_ids(
+                        params, keys, self.B, cond=cond,
+                        sampling=self.sampling,
+                        num_timesteps_eval=t_eval, guidance_fn=guidance_fn,
+                    )
+                    return self.tokenizer.decode(ids)
+
+            else:
+                # baseline zoo: the sampler splits ONE key internally
+                # (per-row key arrays would crash `jax.random.split`), so
+                # the whole padded batch runs under the request's key
+                def run(params, seed, cond):
+                    ids = self.model.sample_ids(
+                        params, jax.random.PRNGKey(seed), self.B, cond=cond,
+                        sampling=self.sampling,
+                        num_timesteps_eval=t_eval, guidance_fn=guidance_fn,
+                    )
+                    return self.tokenizer.decode(ids)
 
             fn = jax.jit(run)
             self._run_cache[lane] = fn
@@ -361,8 +409,14 @@ class LayoutService:
             seeds.append(np.zeros(self.B - n_rows, np.uint32))
         stacked = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *conds)
         fn = self._lane_program(lane)
+        if self._per_row:
+            rng_arg = np.concatenate(seeds)
+        else:
+            # one request per run (see _worker_loop): its scalar seed keys
+            # the whole padded batch, exactly the pre-coalescer semantics
+            rng_arg = np.int32(pendings[0].seed)
         t0 = time.perf_counter()
-        out = jax.device_get(fn(self.params, np.concatenate(seeds), stacked))
+        out = jax.device_get(fn(self.params, rng_arg, stacked))
         sec = time.perf_counter() - t0
         self.runs += 1
         off = 0
@@ -412,6 +466,14 @@ class LayoutService:
         # semantics, `task.py:235-248`)
         if label.shape[0] == 1:
             batch = {k: np.repeat(v, B, axis=0) for k, v in batch.items()}
+        elif label.shape[0] != B:
+            # reject HERE (a 400 for this client) — a mismatched cond/seed
+            # row count would otherwise fail at trace time inside the
+            # worker, 500-ing every coalesced batch-mate too
+            raise ValueError(
+                f"layout has {label.shape[0]} rows but batch_size is {B}: "
+                "provide ONE layout to broadcast, or exactly batch_size"
+            )
         cond = get_cond(
             jax.random.PRNGKey(0), batch, self.tokenizer, task
         )
@@ -419,16 +481,16 @@ class LayoutService:
         if task != "relation":
             return sc, None
         # canvas-prepended indexing for the constraint graph (canvas = 0,
-        # client element i -> i+1; labels shift +1 like AddCanvasElement)
+        # client element i -> i+1) — the SAME transform the training/eval
+        # paths use, so the conventions cannot drift
+        from layoutdm_tpu.data.transforms import AddCanvasElement
         from layoutdm_tpu.relation.guidance import RelationData
 
         n = int(label.shape[1])
         edges = _parse_relations(relations or [], n, self.max_edges)
+        with_canvas = AddCanvasElement()(None, dict(batch))
         graph = {
-            "label": np.concatenate(
-                [np.zeros((B, 1), np.int32),
-                 batch["label"] + batch["mask"].astype(np.int32)], axis=1
-            ),
+            "label": with_canvas["label"].astype(np.int32),
             "edge_index": np.repeat(edges["edge_index"][None], B, axis=0),
             "edge_attr": np.repeat(edges["edge_attr"][None], B, axis=0),
             "edge_mask": np.repeat(edges["edge_mask"][None], B, axis=0),
@@ -457,13 +519,24 @@ class LayoutService:
         if B < 1:
             raise ValueError("batch_size must be >= 1")
         if seed is None:
-            self._counter += 1
-            seed = self._counter
+            # handlers run on ThreadingHTTPServer threads — an unlocked
+            # read-modify-write could hand two seedless requests the same
+            # auto-seed (identical layouts for two independent clients)
+            with self._counter_lock:
+                self._counter += 1
+                seed = self._counter
 
-        if task == "relation" and not relations:
-            raise ValueError(
-                "task 'relation' requires a non-empty 'relations' list"
-            )
+        if task == "relation":
+            if not relations:
+                raise ValueError(
+                    "task 'relation' requires a non-empty 'relations' list"
+                )
+            if not getattr(self.model, "supports_guidance", False):
+                raise ValueError(
+                    f"model '{self.train_cfg.model.name}' does not support "
+                    "relation guidance (diffusion-only, like the reference's "
+                    "CLG-LO)"
+                )
         # fold arbitrary python ints into int32 range (np.int32(2**31)
         # raises OverflowError on NumPy 2)
         seed32 = np.int32(int(seed) & 0x7FFFFFFF)
@@ -488,11 +561,21 @@ class LayoutService:
         guided = task == "relation"
         lane = (t_eval, guided, bool(cond.init_from_seq), has_weak)
 
-        p = _Pending(cond, _row_seeds(int(seed32), B))
+        p = _Pending(cond, _row_seeds(int(seed32), B), seed=int(seed32))
         with self._cv:
+            if len(self._queue) >= self.max_queued_requests:
+                raise ServiceOverloaded(
+                    f"queue full ({self.max_queued_requests} requests)"
+                )
             self._queue.append((lane, p))
             self._cv.notify_all()
-        if not p.event.wait(timeout=600.0):
+        if not p.event.wait(timeout=self.request_timeout_s):
+            # withdraw from the queue so the worker doesn't later burn a
+            # program run on a request whose client is long gone
+            with self._cv:
+                self._queue = [
+                    (ln, q) for ln, q in self._queue if q is not p
+                ]
             raise RuntimeError("generation timed out")
         if p.error is not None:
             raise RuntimeError(f"generation failed: {p.error!r}") from p.error
@@ -521,11 +604,12 @@ class LayoutService:
         if graph is not None:
             # how many of the requested constraints the returned layouts
             # violate (canvas-prepended indexing, like `sample_cli`)
+            from layoutdm_tpu.data.transforms import AddCanvasElement
             from layoutdm_tpu.eval.metrics import compute_violation
 
             S1 = graph["label"].shape[1]
             gen = np.zeros((B, S1, 4), np.float32)
-            gen[:, 0] = _CANVAS_BOX
+            gen[:, 0] = AddCanvasElement.x
             gen[:, 1:] = bbox
             v = compute_violation(
                 gen, graph["label"], graph["edge_index"],
@@ -545,6 +629,7 @@ class LayoutService:
             "timestep_ladder": list(self.ladder),
             "max_edges": self.max_edges,
             "coalesce_window_ms": self.coalesce_window_ms,
+            "coalescing": self._per_row,
             "program_runs": self.runs,
         }
 
@@ -581,6 +666,8 @@ def make_handler(service: LayoutService):
                     req.get("relations"),
                 )
                 self._send(200, out)
+            except ServiceOverloaded as e:
+                self._send(503, {"error": str(e)})
             except (ValueError, KeyError, TypeError) as e:
                 self._send(400, {"error": str(e)})
             except Exception as e:  # pragma: no cover
@@ -619,6 +706,8 @@ def main(argv=None):
         timestep_ladder=ladder,
         max_edges=int(kv.get("max_edges", 32)),
         coalesce_window_ms=float(kv.get("coalesce_window_ms", 2.0)),
+        request_timeout_s=float(kv.get("request_timeout_s", 600.0)),
+        max_queued_requests=int(kv.get("max_queued_requests", 256)),
     )
     # threaded HTTP front so concurrent requests queue AT the coalescer
     # (where they merge into shared program runs), not in the socket backlog

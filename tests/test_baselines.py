@@ -240,3 +240,23 @@ def test_bart_kv_cache_matches_full_recompute(rng):
     slow = model.sample_ids(params, jax.random.PRNGKey(3), 2, cond=sc,
                             sampling=cfg, use_cache=False)
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+@pytest.mark.parametrize("schedule", ["log", "exp"])
+def test_maskgit_log_exp_schedules_usable(rng, schedule):
+    """The log/exp schedules must work through the PRODUCTION call sites
+    (loss + decode), which thread total_unknown=seq_len — the reference
+    never binds it (`maskgit.py:110`), so there these variants crash."""
+    model = MaskGIT(BB, tok(), mask_schedule_name=schedule)
+    layout = random_layout(rng, B=2, S=4, n_cat=4)
+    tokens = model.preprocess(layout)
+    losses, _ = model.loss(
+        model.init(jax.random.PRNGKey(0)), jax.random.PRNGKey(1), tokens,
+        model.init_state(),
+    )
+    assert np.isfinite(float(losses["nll_loss"]))
+    ids = model.sample_ids(
+        model.init(jax.random.PRNGKey(0)), jax.random.PRNGKey(2), 2,
+        sampling=SamplingConfig(num_timesteps=3), state=model.init_state(),
+    )
+    assert (np.asarray(ids) != model.mask_id).all()

@@ -130,3 +130,24 @@ def test_gate(monkeypatch):
     assert not can_use_int8(bb, pos_emb="default")
     # causal configs must refuse: mirror_forward has no attn-mask support
     assert not can_use_int8(bb, lookahead=False)
+
+
+def test_causal_net_refused():
+    """make_int8_predict_start guards on the model's REAL attention mode:
+    mirror_forward has no mask support, so a causal net must fail loudly."""
+    from layoutdm_tpu.models.autoreg import ElemWiseAutoreg
+    from layoutdm_tpu.models.int8_serving import make_int8_predict_start
+    from tests.test_tokenizer import make_tokenizer
+
+    t = make_tokenizer(
+        shared_vocab="x-y-w-h", num_categories=4, max_elements=4,
+        special=("pad", "bos", "mask"),
+    )
+    model = ElemWiseAutoreg(
+        BackboneConfig(
+            d_model=64, nhead=4, dim_feedforward=64, num_layers=1
+        ),
+        t,
+    )
+    with pytest.raises(ValueError, match="causal"):
+        make_int8_predict_start(model, model.init(jax.random.PRNGKey(0)))

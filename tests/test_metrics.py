@@ -273,3 +273,19 @@ def test_fidnet_train_cli(tmp_path):
     )
     model, params = load_fidnet_v3("synthetic", 5, out_dir, 4)
     assert model.num_labels == 5
+
+
+def test_docsim_mixed_sizes_routes_per_pair(rng):
+    """A batch mixing equal- and unequal-size pairs must produce the same
+    result as the pure-python reference path for every pair — the native
+    fast path serves the equal pairs, the python path only the odd ones."""
+    from layoutdm_tpu.eval.metrics import _docsim_pair
+
+    gt, gen = [], []
+    for n_gt, n_gen in [(3, 3), (3, 2), (2, 2), (4, 2), (1, 1)]:
+        gt.append((rng.rand(n_gt, 4).astype(np.float32),
+                   rng.randint(0, 3, n_gt)))
+        gen.append((rng.rand(n_gen, 4).astype(np.float32),
+                    rng.randint(0, 3, n_gen)))
+    expect = float(np.mean([_docsim_pair(a, b) for a, b in zip(gt, gen)]))
+    assert np.isclose(compute_docsim(gt, gen), expect, atol=1e-9)

@@ -278,3 +278,113 @@ def test_generate_bad_requests(server_url):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_layout_batch_dim_mismatch_rejected(server_url):
+    """A layout with neither 1 nor batch_size rows is a 400 for THIS client
+    — not a trace-time failure that 500s every coalesced batch-mate."""
+    code, out = _post(
+        server_url,
+        {"task": "c", "batch_size": 1,
+         "layout": {"label": [[1], [2]],
+                    "bbox": [[[0.5, 0.5, 0.2, 0.2]],
+                             [[0.3, 0.3, 0.1, 0.1]]]}},
+    )
+    assert code == 400 and "batch_size" in out["error"]
+    # exactly batch_size rows is accepted
+    code, out = _post(
+        server_url,
+        {"task": "c", "batch_size": 2,
+         "layout": {"label": [[1], [2]],
+                    "bbox": [[[0.5, 0.5, 0.2, 0.2]],
+                             [[0.3, 0.3, 0.1, 0.1]]]}},
+    )
+    assert code == 200
+    assert [lay["label"] for lay in out["layouts"]] == [[1], [2]]
+
+
+def test_negative_relation_index_rejected(server_url):
+    """dst=-1 must NOT silently alias the canvas slot after the +1 shift."""
+    layout = {"label": [1, 2]}
+    for field, val in (("dst", -1), ("src", -1), ("dst", True)):
+        rel = {"src": 0, "dst": 1, "loc": "left"}
+        rel[field] = val
+        code, out = _post(
+            server_url,
+            {"task": "relation", "layout": layout, "relations": [rel]},
+        )
+        assert code == 400 and "out of range" in out["error"], (field, val)
+
+
+def test_queue_bound_returns_503(service):
+    """When the coalescer queue is full the client gets an overload error,
+    not an unbounded queue."""
+    from layoutdm_tpu.serve_cli import ServiceOverloaded
+
+    orig = service.max_queued_requests
+    service.max_queued_requests = 0
+    try:
+        with pytest.raises(ServiceOverloaded):
+            service.generate("unconditional", 1, seed=1, layout=None)
+    finally:
+        service.max_queued_requests = orig
+
+
+def test_timed_out_request_is_withdrawn(service):
+    """A request whose client timed out is removed from the queue — the
+    worker must not later burn a program run on it."""
+    orig = service.request_timeout_s
+    service.request_timeout_s = 0.001  # << the 100 ms coalesce linger
+    try:
+        with pytest.raises(RuntimeError, match="timed out"):
+            service.generate("unconditional", 1, seed=2, layout=None)
+        with service._cv:
+            assert not service._queue  # withdrawn, not abandoned in place
+    finally:
+        service.request_timeout_s = orig
+    # service still healthy afterwards
+    out = service.generate("unconditional", 1, seed=3, layout=None)
+    assert len(out["layouts"]) == 1
+
+
+@pytest.fixture(scope="module")
+def baseline_service(tmp_path_factory):
+    """A MaskGIT job behind the same service: whole-batch keys (the zoo
+    samplers split ONE key internally), so no cross-request coalescing."""
+    from layoutdm_tpu.configs import build_train_config
+    from layoutdm_tpu.serve_cli import LayoutService
+    from layoutdm_tpu.train.loop import train
+
+    job_dir = str(tmp_path_factory.mktemp("serve_mg") / "job")
+    cfg = build_train_config(
+        "maskgit", "synthetic", [f"job_dir={job_dir}", "debug=true", "seed=0"]
+    )
+    cfg.dataset.max_seq_length = 4
+    cfg.backbone.d_model = 64
+    cfg.backbone.nhead = 2
+    cfg.backbone.dim_feedforward = 64
+    cfg.backbone.num_layers = 1
+    cfg.model.num_timesteps = 4
+    cfg.backbone.diffusion_step = 4
+    train(cfg)
+
+    svc = LayoutService(job_dir, max_batch_size=4, timestep_ladder=(2,))
+    yield svc
+    svc.close()
+
+
+def test_baseline_model_serves(baseline_service):
+    """The zoo lane: service starts (warmup included), requests are
+    deterministic per seed, and relation is rejected up front rather than
+    silently unguided."""
+    svc = baseline_service
+    assert svc.info()["coalescing"] is False
+    a = svc.generate("unconditional", 2, seed=41, layout=None)
+    b = svc.generate("unconditional", 2, seed=41, layout=None)
+    assert a["layouts"] == b["layouts"]
+    c = svc.generate("c", 1, seed=1,
+                     layout={"label": [1], "bbox": [[0.5, 0.5, 0.2, 0.2]]})
+    assert c["layouts"][0]["label"] == [1]
+    with pytest.raises(ValueError, match="guidance"):
+        svc.generate("relation", 1, seed=1, layout={"label": [1, 2]},
+                     relations=[{"src": 0, "dst": 1, "loc": "left"}])
