@@ -102,6 +102,68 @@ def convert_categorical_transformer(
     return params
 
 
+def convert_continuous_transformer(
+    sd: Dict,
+    num_layers: int,
+    timestep_type: Optional[str] = "adalayernorm_mlp",
+    prefix: str = "transformer.",
+) -> Dict:
+    """torch `ContinuousTransformer` (`nn_lib.py:240-313`) -> flax params for
+    `models.continuous.base.ContinuousTransformer`.
+
+    Differences from the categorical port: the input embedding is a Linear
+    over concat(self_cond, x) instead of an Embedding, and the head keeps the
+    same LayerNorm+Linear(no-bias) Sequential split."""
+    g = lambda k: _np(sd[prefix + k])
+
+    def dense(k):
+        return {"kernel": g(f"{k}.weight").T, "bias": g(f"{k}.bias")}
+
+    def layernorm(k):
+        return {"scale": g(f"{k}.weight"), "bias": g(f"{k}.bias")}
+
+    params: Dict[str, Any] = {"emb": dense("emb")}
+    pos = {}
+    if prefix + "pos_emb.pos_emb" in sd:
+        pos["pos_emb"] = g("pos_emb.pos_emb")
+    else:
+        pos["elem_emb"] = g("pos_emb.elem_emb")
+        pos["attr_emb"] = g("pos_emb.attr_emb")
+        if prefix + "pos_emb.bos_emb" in sd:
+            pos["bos_emb"] = g("pos_emb.bos_emb")
+    params["pos"] = pos
+
+    params["backbone"] = {}
+    for i in range(num_layers):
+        lp = f"backbone.layers.{i}"
+        layer: Dict[str, Any] = {}
+        if timestep_type is not None:
+            cond = {"linear": dense(f"{lp}.norm1.linear")}
+            if "mlp" in timestep_type:
+                cond["mlp1"] = dense(f"{lp}.norm1.emb.1")
+                cond["mlp2"] = dense(f"{lp}.norm1.emb.3")
+            elif "abs" not in timestep_type:
+                cond["emb"] = {"embedding": g(f"{lp}.norm1.emb.weight")}
+            layer["norm1"] = {"AdaNormCond_0": cond}
+        else:
+            layer["norm1"] = layernorm(f"{lp}.norm1")
+        layer["attn"] = {
+            "qkv": {
+                "kernel": g(f"{lp}.self_attn.in_proj_weight").T,
+                "bias": g(f"{lp}.self_attn.in_proj_bias"),
+            },
+            "out": dense(f"{lp}.self_attn.out_proj"),
+        }
+        layer["linear1"] = dense(f"{lp}.linear1")
+        layer["linear2"] = dense(f"{lp}.linear2")
+        layer["norm2"] = layernorm(f"{lp}.norm2")
+        params["backbone"][f"layer{i}"] = layer
+
+    params["head_norm"] = layernorm("head.0")
+    params["head"] = {"kernel": g("head.1.weight").T}
+    return params
+
+
 def convert_categorical_encdec_transformer(
     sd: Dict,
     num_layers: int,

@@ -630,3 +630,70 @@ def test_fidnet_v2_parity_vs_reference(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(logit_g), logit_w.numpy(), atol=3e-4)
     np.testing.assert_allclose(np.asarray(cls_g), cls_w.numpy(), atol=3e-4)
     np.testing.assert_allclose(np.asarray(bbox_g), bbox_w.numpy(), atol=3e-4)
+
+
+def test_fidnet_train_loss_parity(tmp_path, rng):
+    """FIDNet trainer loss parity: our `eval/fidnet_train.py:40-55` vs the
+    reference's criterion math (`fid/train.py:76-117` — BCE on the real/fake
+    logit, label CE and 10x bbox MSE over valid elements only) with
+    identical ported weights and batch."""
+    import optax
+    import torch.nn as tnn
+
+    from trainer.fid.model import FIDNetV3 as RefFIDNet
+
+    from layoutdm_tpu.eval.fidnet import load_torch_fidnet
+    from layoutdm_tpu.eval.fidnet_train import make_fid_train_step
+
+    L, S, B = 25, 25, 6
+    torch.manual_seed(1)
+    ref_net = RefFIDNet(num_label=L, max_bbox=S).eval()
+    path = tmp_path / "model_best.pth.tar"
+    torch.save({"state_dict": ref_net.state_dict()}, path)
+    model, params = load_torch_fidnet(str(path), L, max_bbox=S)
+
+    n = rng.randint(1, S + 1, size=(B,))
+    mask = np.arange(S)[None, :] < n[:, None]
+    bbox = (rng.rand(B, S, 4).astype(np.float32) * mask[..., None])
+    label = (rng.randint(0, L, size=(B, S)) * mask).astype(np.int64)
+    is_real = (rng.rand(B) < 0.5).astype(np.float32)
+
+    t_mask = torch.from_numpy(mask)
+    with torch.no_grad():
+        logit, logit_cls, bbox_pred = ref_net(
+            torch.from_numpy(bbox), torch.from_numpy(label),
+            torch.from_numpy(~mask),
+        )
+        ref_bce = tnn.BCEWithLogitsLoss(reduction="none")(
+            logit, torch.from_numpy(is_real)
+        ).mean()
+        ref_label = tnn.CrossEntropyLoss(reduction="none")(
+            logit_cls[t_mask], torch.from_numpy(label)[t_mask]
+        ).mean()
+        ref_bbox = (
+            tnn.MSELoss(reduction="none")(
+                bbox_pred[t_mask], torch.from_numpy(bbox)[t_mask]
+            )
+            .sum(-1)
+            .mean()
+        )
+        ref_total = ref_bce + ref_label + 10.0 * ref_bbox
+
+    _, loss_fn = make_fid_train_step(model, optax.adam(3e-4))
+    total, parts = loss_fn(
+        params,
+        {
+            "bbox": jnp.asarray(bbox),
+            "label": jnp.asarray(label),
+            "mask": jnp.asarray(mask),
+            "is_real": jnp.asarray(is_real),
+        },
+    )
+    np.testing.assert_allclose(float(parts["bce"]), float(ref_bce), atol=1e-4)
+    np.testing.assert_allclose(
+        float(parts["label"]), float(ref_label), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(parts["bbox"]), float(ref_bbox), atol=1e-4
+    )
+    np.testing.assert_allclose(float(total), float(ref_total), atol=2e-4)

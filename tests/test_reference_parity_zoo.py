@@ -32,7 +32,9 @@ from layoutdm_tpu import tasks as my_tasks
 from layoutdm_tpu.configs import BackboneConfig, SamplingConfig
 from layoutdm_tpu.models.bart import BART as MyBART
 from layoutdm_tpu.models.blt import BLT as MyBLT
+from layoutdm_tpu.models.autoreg import ElemWiseAutoreg as MyAutoreg
 from layoutdm_tpu.models.maskgit import MaskGIT as MyMaskGIT, mask_schedule
+from layoutdm_tpu.models.ruite import RUITE as MyRUITE
 from layoutdm_tpu.registry import DATASET_LABELS
 from layoutdm_tpu.tokenizer.bbox import BboxTokenizer
 from layoutdm_tpu.tokenizer.sequence import LayoutSequenceTokenizer
@@ -47,7 +49,9 @@ ref_shim.install_stubs()
 
 import trainer.models.bart as ref_bart_mod  # noqa: E402
 import trainer.models.blt as ref_blt_mod  # noqa: E402
+import trainer.models.elem_wise_autoreg as ref_autoreg_mod  # noqa: E402
 import trainer.models.maskgit as ref_maskgit_mod  # noqa: E402
+import trainer.models.ruite as ref_ruite_mod  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -336,6 +340,188 @@ def test_bart_decode_parity(rng, sort_by):
 # ---------------------------------------------------------------------------
 # (e) get_cond parity for BOS tokenizers (consumed by BART / AR models)
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# (f) ElemWiseAutoreg (LayoutTransformer) full causal decode
+# ---------------------------------------------------------------------------
+
+
+def _my_bos_tokenizer(max_elements=4):
+    bb = BboxTokenizer(num_bins=32, var_order=("x", "y", "w", "h"),
+                       shared_vocab="x-y-w-h")
+    return LayoutSequenceTokenizer(
+        bbox_tokenizer=bb, num_categories=len(DATASET_LABELS["rico25"]),
+        max_elements=max_elements,
+        special_tokens=("pad", "bos", "eos", "mask"), pad_until_max=True,
+    )
+
+
+def _build_autoreg_pair():
+    torch.manual_seed(17)
+    ref_tok = ref_shim.make_ref_tokenizer(
+        max_seq_length=4,
+        special_tokens=("pad", "bos", "eos", "mask"),
+    )
+    ref_m = ref_autoreg_mod.ElemWiseAutoreg(
+        backbone_cfg=make_plain_backbone_cfg(),
+        tokenizer=ref_tok,
+        pos_emb="default",
+    ).eval()
+    ref_m.tokenizer.decode = lambda seq: seq
+
+    my_tok = _my_bos_tokenizer()
+    my_m = MyAutoreg(
+        BackboneConfig(d_model=64, nhead=4, dim_feedforward=128,
+                       num_layers=2, dropout=0.0),
+        my_tok,
+    )
+    params = convert_categorical_transformer(
+        ref_m.state_dict(), num_layers=2, timestep_type=None,
+        prefix="model.module.",
+    )
+    return ref_m, my_m, my_tok, params
+
+
+@pytest.mark.parametrize("cond_type", [None, "c"])
+def test_autoreg_decode_parity(rng, cond_type):
+    """Full token-by-token causal decode vs `elem_wise_autoreg.py:74-138`:
+    per-slot legality masks, conditional forcing, and (for the KV-cached
+    path) the cache formulation — all token-identical under deterministic
+    sampling."""
+    ref_m, my_m, my_tok, params = _build_autoreg_pair()
+    B = 3
+    if cond_type is None:
+        ref_cond, sc = None, None
+    else:
+        label, bbox, mask = _random_layouts(rng, B=B, S=4)
+        my_cond = my_tasks.get_cond(
+            jax.random.PRNGKey(0),
+            {"label": label, "bbox": bbox, "mask": mask},
+            my_tok, cond_type, model_type="ElemWiseAutoreg",
+        )
+        ref_cond = {
+            "seq": torch.from_numpy(np.asarray(my_cond["seq"], np.int64)),
+            "mask": torch.from_numpy(np.asarray(my_cond["mask"])),
+            "type": cond_type,
+        }
+        sc = my_tasks.to_sampler_cond(my_cond, my_tok, SamplingConfig())
+
+    with torch.no_grad():
+        ref_ids = ref_m.sample(
+            batch_size=B, cond=ref_cond, sampling_cfg=DET
+        ).numpy()
+
+    for use_cache in (True, False):
+        my_ids = np.asarray(
+            my_m.sample_ids(
+                params, jax.random.PRNGKey(0), B, cond=sc,
+                sampling=SamplingConfig(name="deterministic"),
+                use_cache=use_cache,
+            )
+        )
+        np.testing.assert_array_equal(my_ids, ref_ids)
+
+
+def test_autoreg_refinement_decode_parity(rng):
+    """Refinement decode vs the reference: the weak smoothed-onehot prior is
+    added at each causal step with the BOS column shift
+    (`elem_wise_autoreg.py:117-120`)."""
+    ref_m, my_m, my_tok, params = _build_autoreg_pair()
+    B = 3
+    label, bbox, mask = _random_layouts(rng, B=B, S=4)
+    my_cond = my_tasks.get_cond(
+        jax.random.PRNGKey(1),
+        {"label": label, "bbox": bbox, "mask": mask},
+        my_tok, "refinement", model_type="ElemWiseAutoreg",
+    )
+    ref_cond = {
+        "seq": torch.from_numpy(np.asarray(my_cond["seq"], np.int64)),
+        "mask": torch.from_numpy(np.asarray(my_cond["mask"])),
+        "seq_orig": torch.from_numpy(
+            np.asarray(my_cond["seq_orig"], np.int64)
+        ),
+        "type": "refinement",
+    }
+    ref_sampling = ref_shim.AttrDict(
+        name="deterministic", temperature=1.0,
+        refine_lambda=4.0, refine_mode="uniform", refine_offset_ratio=0.2,
+    )
+    with torch.no_grad():
+        ref_ids = ref_m.sample(
+            batch_size=B, cond=ref_cond, sampling_cfg=ref_sampling
+        ).numpy()
+
+    my_sampling = SamplingConfig(
+        name="deterministic", refine_lambda=4.0, refine_mode="uniform",
+        refine_offset_ratio=0.2,
+    )
+    sc = my_tasks.to_sampler_cond(my_cond, my_tok, my_sampling)
+    my_ids = np.asarray(
+        my_m.sample_ids(
+            params, jax.random.PRNGKey(0), B, cond=sc, sampling=my_sampling
+        )
+    )
+    np.testing.assert_array_equal(my_ids, ref_ids)
+
+
+# ---------------------------------------------------------------------------
+# (g) RUITE one-shot refinement
+# ---------------------------------------------------------------------------
+
+
+def test_ruite_sample_parity(rng):
+    """One-shot denoise + known-token replacement vs `ruite.py:68-100` —
+    padding-mask construction, deterministic sampling, and the
+    cond-replacement scatter."""
+    torch.manual_seed(19)
+    ref_tok = ref_shim.make_ref_tokenizer(max_seq_length=6)
+    ref_m = ref_ruite_mod.RUITE(
+        backbone_cfg=make_plain_backbone_cfg(), tokenizer=ref_tok
+    ).eval()
+    ref_m.tokenizer.decode = lambda seq: seq
+
+    bb = BboxTokenizer(num_bins=32, var_order=("x", "y", "w", "h"),
+                       shared_vocab="x-y-w-h")
+    my_tok = LayoutSequenceTokenizer(
+        bbox_tokenizer=bb, num_categories=len(DATASET_LABELS["rico25"]),
+        max_elements=6, special_tokens=("pad", "mask"), pad_until_max=True,
+    )
+    my_m = MyRUITE(
+        BackboneConfig(d_model=64, nhead=4, dim_feedforward=128,
+                       num_layers=2, dropout=0.0),
+        my_tok,
+    )
+    params = convert_categorical_transformer(
+        ref_m.state_dict(), num_layers=2, timestep_type=None,
+        prefix="model.module.",
+    )
+
+    B = 4
+    label, bbox, mask = _random_layouts(rng, B=B, S=6)
+    my_cond = my_tasks.get_cond(
+        jax.random.PRNGKey(2),
+        {"label": label, "bbox": bbox, "mask": mask},
+        my_tok, "refinement", model_type="RUITE",
+    )
+    ref_cond = {
+        "seq": torch.from_numpy(np.asarray(my_cond["seq"], np.int64)),
+        "mask": torch.from_numpy(np.asarray(my_cond["mask"])),
+        "type": "refinement",
+    }
+    with torch.no_grad():
+        ref_ids = ref_m.sample(
+            batch_size=B, cond=ref_cond, sampling_cfg=DET
+        ).numpy()
+
+    sc = my_tasks.to_sampler_cond(my_cond, my_tok, SamplingConfig())
+    my_ids = np.asarray(
+        my_m.sample_ids(
+            params, jax.random.PRNGKey(0), B, cond=sc,
+            sampling=SamplingConfig(name="deterministic"),
+        )
+    )
+    np.testing.assert_array_equal(my_ids, ref_ids)
 
 
 @pytest.mark.parametrize("cond_type", ["c", "cwh", "gt"])
