@@ -103,9 +103,9 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state._replace(opt_state=opt_state)
 
 
-def make_train_step(model, optimizer, mesh: Optional[Mesh] = None):
-    """Build the jitted train step.  With a mesh, batch is data-sharded and
-    everything else replicated; single-device otherwise."""
+def train_step_fn(model, optimizer):
+    """The pure (state, rng, tokens) -> (state, metrics) step function,
+    shared by the jit wrappers (`make_train_step`, `parallel.tp`)."""
 
     def step_fn(state: TrainState, rng: jax.Array, tokens):
         def loss_fn(params):
@@ -131,6 +131,13 @@ def make_train_step(model, optimizer, mesh: Optional[Mesh] = None):
         )
         return new_state, metrics
 
+    return step_fn
+
+
+def make_train_step(model, optimizer, mesh: Optional[Mesh] = None):
+    """Build the jitted train step.  With a mesh, batch is data-sharded and
+    everything else replicated; single-device otherwise."""
+    step_fn = train_step_fn(model, optimizer)
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
 
