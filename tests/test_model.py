@@ -221,3 +221,25 @@ def test_vanilla_q_sampling(rng):
         for s in range(4):
             if layout["mask"][b, s]:
                 assert out[b, s, 0] == layout["label"][b, s]
+
+
+def test_embed_tokens_exact(rng):
+    """The one-hot-matmul token embedding is bitwise equal to the gather.
+
+    `embed_tokens` replaces `nn.Embed`'s gather with a HIGHEST-precision
+    one-hot dot (TPU gathers bypass the MXU; measured 2.5 -> 0.79 ms/step
+    at bench shapes) — the results must be identical, not just close."""
+    import flax.linen as nn
+
+    from layoutdm_tpu.models.nn import embed_tokens
+
+    class Both(nn.Module):
+        @nn.compact
+        def __call__(self, seq):
+            emb = nn.Embed(155, 464, name="cat_emb")
+            return emb(seq), embed_tokens(emb, seq)
+
+    seq = jax.random.randint(jax.random.PRNGKey(7), (3, 125), 0, 155)
+    g, o = Both().apply(Both().init(jax.random.PRNGKey(0), seq), seq)
+    assert g.dtype == o.dtype == jnp.float32
+    assert bool(jnp.all(g == o))
