@@ -331,6 +331,12 @@ class Block(nn.Module):
             )
         else:
             x = nn.LayerNorm(name="norm1")(x)
+        # keep the RESIDUAL STREAM in the compute dtype: the norms promote
+        # to f32 (their stats/params stay f32 — that precision is kept),
+        # but carrying the (B, S, d) trunk itself in f32 doubles the HBM
+        # traffic of every elementwise fusion between the GEMMs (profiled
+        # at ~10% of the bf16 sampler step)
+        x = x.astype(self.dtype)
         attn = SelfAttention(
             c.d_model, c.nhead, c.dropout, dtype=self.dtype,
             decode=self.decode, decode_length=self.decode_length,
