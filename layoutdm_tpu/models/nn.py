@@ -221,12 +221,36 @@ class SelfAttention(nn.Module):
             wop = scatter_out_weights(wo.astype(self.dtype), H, hd, hp)
             return o @ wop + bo.astype(self.dtype)
 
-        qkv = nn.Dense(3 * D, name="qkv", dtype=self.dtype)(x)
-
         from layoutdm_tpu.ops.attention import (
             can_use_fused,
+            can_use_padded_qkv,
             fused_attention_qkv,
+            head_pad_target,
         )
+
+        # weight-padded-head packed-qkv kernel (LAYOUTDM_TPU_HEADPAD_W=1):
+        # same per-head kernel as the default fused path, but the
+        # projection weights are zero-scattered to 64-aligned head blocks
+        # so the kernel's lane slices stop crossing tiles; no runtime pad
+        # copies (the GEMM emits the padded layout), result exact
+        if deterministic and can_use_padded_qkv(
+            S, mask, key_padding_mask, hd, num_heads=H,
+            itemsize=jnp.dtype(self.dtype).itemsize,
+        ):
+            hp = head_pad_target(hd)
+            wq, bq = _DenseParams(3 * D, name="qkv")(D)
+            wp, bp = scatter_qkv_weights(
+                wq.astype(self.dtype), bq.astype(self.dtype), H, hd, hp
+            )
+            qkv_pad = x.astype(self.dtype) @ wp + bp
+            o = fused_attention_qkv(
+                qkv_pad, num_heads=H, scale=1.0 / math.sqrt(hd)
+            )
+            wo, bo = _DenseParams(D, name="out")(D)
+            wop = scatter_out_weights(wo.astype(self.dtype), H, hd, hp)
+            return o @ wop + bo.astype(self.dtype)
+
+        qkv = nn.Dense(3 * D, name="qkv", dtype=self.dtype)(x)
 
         # fused path ONLY when deterministic: (a) attention dropout needs
         # the XLA path, and (b) training differentiates through attention

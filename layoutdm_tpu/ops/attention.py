@@ -54,21 +54,27 @@ def _attn_kernel_qkv(qkv_ref, o_ref, *, scale: float, H: int, hd: int, D: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "batch_per_block", "interpret")
+    jax.jit,
+    static_argnames=("num_heads", "batch_per_block", "interpret", "scale"),
 )
 def fused_attention_qkv(
     qkv: jnp.ndarray,  # (B, S, 3D) packed projection output
     num_heads: int,
     batch_per_block: int = 0,
     interpret: bool = False,
+    scale: float = 0.0,
 ) -> jnp.ndarray:
     """Attention directly on the packed qkv projection output; returns
-    (B, S, D)."""
+    (B, S, D).
+
+    ``scale`` overrides the 1/sqrt(hd) default — the weight-padded-head
+    path feeds hd=64 slabs whose true head size is 58, so the softmax
+    scale must come from the caller."""
     B, S, D3 = qkv.shape
     D = D3 // 3
     H = num_heads
     hd = D // H
-    scale = 1.0 / math.sqrt(hd)
+    scale = scale or 1.0 / math.sqrt(hd)
     if not batch_per_block:
         batch_per_block = _auto_batch_per_block(S, D, qkv.dtype.itemsize)
     Gb = min(batch_per_block, B)
@@ -158,6 +164,37 @@ def use_head_pad(hd: int) -> bool:
     if os.environ.get("LAYOUTDM_TPU_HEAD_PAD") != "1":
         return False
     return hd % 64 != 0 and jax.default_backend() == "tpu"
+
+
+def can_use_padded_qkv(
+    S: int, mask, key_padding_mask, hd: int, num_heads: int = 8,
+    itemsize: int = 2,
+) -> bool:
+    """Gate for the WEIGHT-padded-head packed-qkv path (default ON where
+    it applies; LAYOUTDM_TPU_HEADPAD_W=0 disables): the qkv/out projection
+    weights are zero-scattered so each head occupies a 64-aligned lane
+    block and the per-head kernel slices stop crossing lane tiles.  Unlike
+    the rejected runtime head-pad (`use_head_pad`), no activation pad
+    copies exist — the projection GEMM itself emits the padded layout.
+
+    Measured (v5e, bf16, B=1024 S=125 d=464): denoiser 34.1 -> 28.2
+    ms/step (-17%).  The math is exact up to bf16 accumulation order (the
+    zero-interleaved weights shift MXU tile boundaries; logit diff ~3e-4
+    relative vs the unpadded kernel)."""
+    import os
+
+    if os.environ.get("LAYOUTDM_TPU_HEADPAD_W") == "0":
+        return False
+    if not HAS_PALLAS:
+        return False
+    if mask is not None or key_padding_mask is not None:
+        return False
+    if hd % 64 == 0:
+        return False  # already aligned; the plain fused path is identical
+    hp = head_pad_target(hd)
+    if not fits_vmem(S, num_heads * hp, itemsize):
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def can_use_fused(

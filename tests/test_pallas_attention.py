@@ -117,6 +117,7 @@ def test_head_pad_exactness(monkeypatch):
     want = mod.apply({"params": params}, x)
     monkeypatch.setenv("LAYOUTDM_TPU_HEAD_PAD", "1")  # off by default
     monkeypatch.setenv("LAYOUTDM_TPU_FUSED_ATTN", "0")  # force XLA path
+    monkeypatch.setenv("LAYOUTDM_TPU_HEADPAD_W", "0")  # keep pallas off (CPU)
     monkeypatch.setattr(att.jax, "default_backend", lambda: "tpu")
     assert att.use_head_pad(58)
     got = mod.apply({"params": params}, x)
@@ -140,3 +141,53 @@ def test_head_pad_target():
     assert head_pad_target(64) == 64
     assert head_pad_target(65) == 128
     assert head_pad_target(128) == 128
+
+
+@pytest.mark.skipif(not HAS_PALLAS, reason="pallas unavailable")
+def test_weight_padded_heads_matches_reference(rng):
+    """The weight-padded-head path (scatter qkv/out weights to 64-aligned
+    head blocks, run the SAME per-head kernel on the padded slab) equals
+    plain attention: the extra lanes are zero columns/rows end-to-end."""
+    from layoutdm_tpu.ops.attention_blockdiag import (
+        scatter_out_weights,
+        scatter_qkv_weights,
+    )
+
+    B, S, H, hd, hp = 2, 9, 4, 58, 64
+    D = H * hd
+    x = rng.randn(B, S, D).astype(np.float32)
+    wq = rng.randn(D, 3 * D).astype(np.float32) * 0.05
+    bq = rng.randn(3 * D).astype(np.float32) * 0.05
+    wo = rng.randn(D, D).astype(np.float32) * 0.05
+
+    qkv = x @ wq + bq
+    want = np.asarray(_reference(qkv, H) @ wo)
+
+    wp, bp = scatter_qkv_weights(jnp.asarray(wq), jnp.asarray(bq), H, hd, hp)
+    assert wp.shape == (D, 3 * H * hp)
+    qkv_pad = jnp.asarray(x) @ wp + bp
+    o = fused_attention_qkv(
+        qkv_pad, num_heads=H, interpret=True, scale=1.0 / math.sqrt(hd)
+    )
+    wop = scatter_out_weights(jnp.asarray(wo), H, hd, hp)
+    got = np.asarray(o @ wop)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_can_use_padded_qkv_gate(monkeypatch):
+    from layoutdm_tpu.ops.attention import can_use_padded_qkv
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    import layoutdm_tpu.ops.attention as att
+
+    monkeypatch.setattr(att.jax, "default_backend", lambda: "tpu")
+    # default ON where it applies
+    monkeypatch.delenv("LAYOUTDM_TPU_HEADPAD_W", raising=False)
+    assert can_use_padded_qkv(125, None, None, hd=58)
+    # aligned heads: plain fused path is identical, padding pointless
+    assert not can_use_padded_qkv(125, None, None, hd=64)
+    # masks force the XLA path
+    assert not can_use_padded_qkv(125, jnp.zeros((125, 125)), None, hd=58)
+    # kill switch
+    monkeypatch.setenv("LAYOUTDM_TPU_HEADPAD_W", "0")
+    assert not can_use_padded_qkv(125, None, None, hd=58)
