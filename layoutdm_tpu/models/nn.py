@@ -148,10 +148,13 @@ class SelfAttention(nn.Module):
         mask: Optional[jnp.ndarray] = None,  # (S, S) additive or bool
         key_padding_mask: Optional[jnp.ndarray] = None,  # (B, S) True=pad
         deterministic: bool = True,
+        fold_residual: bool = False,  # return x + attn via the block kernel
     ) -> jnp.ndarray:
         if self.decode:
             return self._decode_step(x)
-        return self._full(x, mask, key_padding_mask, deterministic)
+        return self._full(
+            x, mask, key_padding_mask, deterministic, fold_residual
+        )
 
     def _decode_step(self, x: jnp.ndarray) -> jnp.ndarray:
         B, S, D = x.shape
@@ -186,7 +189,8 @@ class SelfAttention(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, cv.value).reshape(B, 1, D)
         return nn.Dense(D, name="out", dtype=self.dtype)(out)
 
-    def _full(self, x, mask, key_padding_mask, deterministic):
+    def _full(self, x, mask, key_padding_mask, deterministic,
+              fold_residual=False):
         B, S, D = x.shape
         H = self.nhead
         assert D % H == 0, f"d_model {D} not divisible by nhead {H}"
@@ -198,6 +202,34 @@ class SelfAttention(nn.Module):
             scatter_out_weights,
             scatter_qkv_weights,
         )
+
+        from layoutdm_tpu.ops.attention import (
+            can_use_fused_block,
+            fused_attention_block,
+            head_pad_target,
+        )
+
+        # whole-sandwich kernel: qkv + attention + out (+ residual) in one
+        # pallas call — the (B, S, 3Dp) qkv slab never touches HBM (the
+        # split-kernel pipeline wrote it, layout-copied it for the custom
+        # call, and read it back).  Weights are zero-scattered to
+        # 64-aligned head blocks (exact; `scatter_qkv_weights`)
+        if deterministic and fold_residual and can_use_fused_block(
+            S, mask, key_padding_mask, hd, num_heads=H, d_model=D,
+            itemsize=jnp.dtype(self.dtype).itemsize,
+        ):
+            hp = head_pad_target(hd)
+            wq, bq = _DenseParams(3 * D, name="qkv")(D)
+            wp, bp = scatter_qkv_weights(
+                wq.astype(self.dtype), bq.astype(self.dtype), H, hd, hp
+            )
+            wo, bo = _DenseParams(D, name="out")(D)
+            wop = scatter_out_weights(wo.astype(self.dtype), H, hd, hp)
+            return fused_attention_block(
+                x.astype(self.dtype), wp, bp, wop, bo.astype(self.dtype),
+                num_heads=H, head_pad=hp, scale=1.0 / math.sqrt(hd),
+                residual=True,
+            )
 
         # experimental block-diagonal kernel (LAYOUTDM_TPU_ATTN_V2=1):
         # projection weights are scattered into a padded-head layout so the
@@ -361,12 +393,29 @@ class Block(nn.Module):
         # traffic of every elementwise fusion between the GEMMs (profiled
         # at ~10% of the bf16 sampler step)
         x = x.astype(self.dtype)
+        from layoutdm_tpu.ops.attention import can_use_fused_block
+
+        # fold the x + attn residual into the sandwich kernel when it will
+        # engage (same gate SelfAttention checks; deterministic => the
+        # dropout below is identity anyway)
+        fold = (
+            deterministic
+            and not self.decode
+            and can_use_fused_block(
+                x.shape[1], attn_mask, key_padding_mask,
+                c.d_model // c.nhead, num_heads=c.nhead, d_model=c.d_model,
+                itemsize=jnp.dtype(self.dtype).itemsize,
+            )
+        )
         attn = SelfAttention(
             c.d_model, c.nhead, c.dropout, dtype=self.dtype,
             decode=self.decode, decode_length=self.decode_length,
             name="attn",
-        )(x, attn_mask, key_padding_mask, deterministic)
-        x = x + nn.Dropout(c.dropout)(attn, deterministic=deterministic)
+        )(x, attn_mask, key_padding_mask, deterministic, fold_residual=fold)
+        if fold:
+            x = attn
+        else:
+            x = x + nn.Dropout(c.dropout)(attn, deterministic=deterministic)
 
         from layoutdm_tpu.ops.ffn import can_use_fused_ffn, fused_ln_ffn_residual
 

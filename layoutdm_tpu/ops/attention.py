@@ -53,6 +53,159 @@ def _attn_kernel_qkv(qkv_ref, o_ref, *, scale: float, H: int, hd: int, D: int):
         o_ref[:, :, h * hd : (h + 1) * hd] = o.astype(o_ref.dtype)
 
 
+def _attn_block_kernel(
+    x_ref, wq_ref, bq_ref, wo_ref, bo_ref, o_ref,
+    *, scale: float, H: int, hp: int, residual: bool,
+):
+    """One whole attention sandwich per batch block: qkv projection ->
+    per-head attention -> out projection (-> +residual), all in VMEM.
+
+    Removes the qkv slab's HBM round trip entirely: the standalone-kernel
+    pipeline writes the (B, S, 3Dp) projection to HBM, layout-copies it
+    for the custom call, and reads it back (~3x the slab per layer); here
+    it never leaves VMEM.  Measured SLOWER than the split pipeline at the
+    flagship shapes regardless (see `can_use_fused_block` for the
+    numbers) — kept as a gated experiment.  Projections run as one big-M
+    GEMM over an in-VMEM concat of the Gb rows (Mosaic's dot takes at
+    most one batch dim, free-dim 3D dots fail to lower, and per-row M=S
+    GEMMs starve the MXU — all three formulations were measured)."""
+    Dp = H * hp
+    x = x_ref[...]  # (Gb, S, D)
+    Gb, S, D = x.shape
+    wq = wq_ref[...]
+    bq = bq_ref[...]
+    # exact f32 projections in f32 configs (Mosaic's DEFAULT rounds f32
+    # dot operands to bf16); bf16 inputs are single-pass either way, and
+    # Mosaic rejects HIGHEST for bf16 operands
+    prec = (
+        jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    )
+    # one big-M GEMM for the projections: collapse the Gb rows into a
+    # single (Gb*S, D) operand (a VMEM relayout since S % 8 != 0 — measured
+    # cheaper than Gb separate M=S GEMMs starving the MXU)
+    x2 = jnp.concatenate([x[g] for g in range(Gb)], axis=0)  # (Gb*S, D)
+    qkv2 = jax.lax.dot_general(
+        x2, wq,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    qkv2 = (qkv2 + bq[None, :]).astype(x.dtype)  # (Gb*S, 3Dp)
+
+    rows = []
+    for g in range(Gb):
+        qkv_g = qkv2[g * S : (g + 1) * S]  # (S, 3Dp)
+        heads = []
+        for h in range(H):
+            q = qkv_g[:, h * hp : (h + 1) * hp]
+            k = qkv_g[:, Dp + h * hp : Dp + (h + 1) * hp]
+            v = qkv_g[:, 2 * Dp + h * hp : 2 * Dp + (h + 1) * hp]
+            s = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p = jax.nn.softmax(s * scale, axis=-1).astype(v.dtype)
+            heads.append(
+                jax.lax.dot_general(
+                    p, v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+            )
+        # static lane concat (Mosaic has no scatter; .at[].set won't lower)
+        rows.append(jnp.concatenate(heads, axis=-1))  # (S, Dp)
+    o2 = jnp.concatenate(rows, axis=0)  # (Gb*S, Dp)
+
+    wo = wo_ref[...]
+    bo = bo_ref[...]
+    out2 = jax.lax.dot_general(
+        o2, wo,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    out2 = out2 + bo[None, :]
+    if residual:
+        out2 = out2 + x2
+    for g in range(Gb):
+        o_ref[g] = out2[g * S : (g + 1) * S].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads", "head_pad", "residual", "batch_per_block", "interpret",
+        "scale",
+    ),
+)
+def fused_attention_block(
+    x: jnp.ndarray,  # (B, S, D) normed block input
+    wq: jnp.ndarray,  # (D, 3*H*hp) head-padded qkv kernel
+    bq: jnp.ndarray,  # (3*H*hp,)
+    wo: jnp.ndarray,  # (H*hp, D) head-padded out kernel
+    bo: jnp.ndarray,  # (D,)
+    num_heads: int,
+    head_pad: int,
+    scale: float,
+    residual: bool = True,
+    batch_per_block: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """qkv projection + attention + out projection (+ x residual) as ONE
+    pallas kernel; weights VMEM-resident, the qkv slab never touches HBM."""
+    B, S, D = x.shape
+    H, hp = num_heads, head_pad
+    Dp = H * hp
+    if not batch_per_block:
+        batch_per_block = _auto_block_for_block_kernel(
+            S, D, Dp, x.dtype.itemsize
+        )
+    Gb = min(batch_per_block, B)
+    while B % Gb:
+        Gb -= 1
+    const = lambda *_: (0, 0)
+    return pl.pallas_call(
+        functools.partial(
+            _attn_block_kernel, scale=scale, H=H, hp=hp, residual=residual
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, S, D), x.dtype),
+        grid=(B // Gb,),
+        in_specs=[
+            pl.BlockSpec((Gb, S, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((D, 3 * Dp), const),
+            pl.BlockSpec((3 * Dp,), lambda i: (0,)),
+            pl.BlockSpec((Dp, D), const),
+            pl.BlockSpec((D,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((Gb, S, D), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(x, wq, bq, wo, bo)
+
+
+def _block_kernel_vmem(
+    S: int, D: int, Dp: int, itemsize: int, Gb: int
+) -> int:
+    """Working-set bytes for one fused-block grid step: double-buffered x
+    and out slabs, the live qkv/o intermediates, weights, and ~3 f32
+    (S, S) score buffers."""
+    Sp = -(-S // 8) * 8
+    Sl = -(-S // 128) * 128
+    Dl = -(-D // 128) * 128
+    row = Sp * (2 * 2 * Dl + 4 * Dp + Dp) * itemsize  # x/out dbl-buf + qkv + o
+    wts = (D * 3 * Dp + Dp * D) * itemsize
+    return Gb * row + wts + 3 * Sp * Sl * 4
+
+
+def _auto_block_for_block_kernel(
+    S: int, D: int, Dp: int, itemsize: int
+) -> int:
+    g = 1
+    while g < 64 and _block_kernel_vmem(S, D, Dp, itemsize, g * 2) <= _VMEM_BUDGET:
+        g *= 2
+    return g
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "batch_per_block", "interpret", "scale"),
@@ -164,6 +317,42 @@ def use_head_pad(hd: int) -> bool:
     if os.environ.get("LAYOUTDM_TPU_HEAD_PAD") != "1":
         return False
     return hd % 64 != 0 and jax.default_backend() == "tpu"
+
+
+def can_use_fused_block(
+    S: int, mask, key_padding_mask, hd: int, num_heads: int = 8,
+    d_model: int = 0, itemsize: int = 2,
+) -> bool:
+    """Gate for the whole-sandwich kernel `fused_attention_block`: qkv
+    projection + attention + out projection + residual in one pallas call,
+    weights VMEM-resident.  OFF by default — a measured negative result.
+
+    Hypothesis was that keeping the (B, S, 3Dp) qkv slab out of HBM
+    (the split pipeline writes it, layout-copies it for the custom call,
+    and reads it back — ~0.75 ms/step of pure copies in the profile)
+    would beat the split path.  Measured at bench shapes (v5e, bf16,
+    B=1024 S=125 d=464, denoiser-only chained scan): split path 28.2
+    ms/step; sandwich with per-row M=125 projections 31.1; sandwich with
+    an in-VMEM concat to one big-M GEMM 30.7.  Mosaic's in-kernel
+    projections can't match XLA's 165 TF/s on the same GEMM (it picks a
+    batch-minor layout Mosaic doesn't support), and the loss exceeds the
+    copy savings.  Kept behind LAYOUTDM_TPU_FUSED_BLOCK=1 for shape
+    regimes with fatter attention (longer S) where the balance may flip.
+    Deterministic-path only (callers enforce), no masks, TPU, working set
+    fits scoped VMEM at Gb=1."""
+    import os
+
+    if os.environ.get("LAYOUTDM_TPU_FUSED_BLOCK") != "1":
+        return False
+    if not HAS_PALLAS:
+        return False
+    if mask is not None or key_padding_mask is not None:
+        return False
+    hp = head_pad_target(hd)
+    D = d_model or num_heads * hd
+    if _block_kernel_vmem(S, D, num_heads * hp, itemsize, 1) > _VMEM_BUDGET:
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def can_use_padded_qkv(

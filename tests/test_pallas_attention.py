@@ -191,3 +191,54 @@ def test_can_use_padded_qkv_gate(monkeypatch):
     # kill switch
     monkeypatch.setenv("LAYOUTDM_TPU_HEADPAD_W", "0")
     assert not can_use_padded_qkv(125, None, None, hd=58)
+
+
+@pytest.mark.skipif(not HAS_PALLAS, reason="pallas unavailable")
+def test_fused_block_matches_reference(rng):
+    """The whole-sandwich kernel (qkv proj + attention + out proj +
+    residual in one pallas call; gated experiment, LAYOUTDM_TPU_FUSED_BLOCK)
+    matches plain attention.  Interpret mode emulates the MXU's DEFAULT
+    bf16 operand rounding for the attention dots, hence the loose
+    tolerance; the projections run HIGHEST (exact f32)."""
+    from layoutdm_tpu.ops.attention import (
+        fused_attention_block,
+        head_pad_target,
+    )
+    from layoutdm_tpu.ops.attention_blockdiag import (
+        scatter_out_weights,
+        scatter_qkv_weights,
+    )
+
+    B, S, H, hd = 4, 9, 4, 58
+    D = H * hd
+    hp = head_pad_target(hd)
+    x = rng.randn(B, S, D).astype(np.float32)
+    wq = (rng.randn(D, 3 * D) * 0.05).astype(np.float32)
+    bq = (rng.randn(3 * D) * 0.05).astype(np.float32)
+    wo = (rng.randn(D, D) * 0.05).astype(np.float32)
+    bo = (rng.randn(D) * 0.05).astype(np.float32)
+
+    want = np.asarray(_reference(x @ wq + bq, H) @ wo + bo + x)
+
+    wp, bp = scatter_qkv_weights(jnp.asarray(wq), jnp.asarray(bq), H, hd, hp)
+    wop = scatter_out_weights(jnp.asarray(wo), H, hd, hp)
+    got = fused_attention_block(
+        jnp.asarray(x), wp, bp, wop, jnp.asarray(bo),
+        num_heads=H, head_pad=hp, scale=1.0 / math.sqrt(hd),
+        residual=True, batch_per_block=2, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=6e-3, rtol=6e-3)
+
+
+def test_can_use_fused_block_gate(monkeypatch):
+    from layoutdm_tpu.ops.attention import can_use_fused_block
+
+    import layoutdm_tpu.ops.attention as att
+
+    monkeypatch.setattr(att.jax, "default_backend", lambda: "tpu")
+    # OFF by default: a measured negative result at flagship shapes
+    monkeypatch.delenv("LAYOUTDM_TPU_FUSED_BLOCK", raising=False)
+    assert not can_use_fused_block(125, None, None, hd=58)
+    monkeypatch.setenv("LAYOUTDM_TPU_FUSED_BLOCK", "1")
+    assert can_use_fused_block(125, None, None, hd=58, d_model=464)
+    assert not can_use_fused_block(125, jnp.zeros((125, 125)), None, hd=58)
