@@ -230,6 +230,13 @@ class SelfAttention(nn.Module):
                 num_heads=H, head_pad=hp, scale=1.0 / math.sqrt(hd),
                 residual=True,
             )
+        # a caller asking for the folded residual when the kernel gate
+        # declines would silently get attn-only back — fail loudly instead
+        # (Block computes `fold` with the SAME gate, so it never hits this)
+        assert not fold_residual, (
+            "fold_residual=True but can_use_fused_block declined; "
+            "check the gate before asking for the folded form"
+        )
 
         # experimental block-diagonal kernel (LAYOUTDM_TPU_ATTN_V2=1):
         # projection weights are scattered into a padded-head layout so the
@@ -260,11 +267,12 @@ class SelfAttention(nn.Module):
             head_pad_target,
         )
 
-        # weight-padded-head packed-qkv kernel (LAYOUTDM_TPU_HEADPAD_W=1):
-        # same per-head kernel as the default fused path, but the
-        # projection weights are zero-scattered to 64-aligned head blocks
-        # so the kernel's lane slices stop crossing tiles; no runtime pad
-        # copies (the GEMM emits the padded layout), result exact
+        # weight-padded-head packed-qkv kernel (default ON where hd is not
+        # 64-aligned; LAYOUTDM_TPU_HEADPAD_W=0 disables): same per-head
+        # kernel as the plain fused path, but the projection weights are
+        # zero-scattered to 64-aligned head blocks so the kernel's lane
+        # slices stop crossing tiles; no runtime pad copies (the GEMM
+        # emits the padded layout), exact up to bf16 accumulation order
         if deterministic and can_use_padded_qkv(
             S, mask, key_padding_mask, hd, num_heads=H,
             itemsize=jnp.dtype(self.dtype).itemsize,
