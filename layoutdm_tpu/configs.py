@@ -122,6 +122,14 @@ class SamplingConfig:
     refine_lambda: float = 3.0
     refine_mode: str = "uniform"  # uniform | gaussian | negative
     refine_offset_ratio: float = 0.1
+    # default = the reference's CLG-LO step size (`test.py`/hydra default).
+    # Measured sweep at toy scale (synthetic-max25 cosine model, 256
+    # relation-conditioned samples; docs/STATUS.md round-3 table):
+    # violation falls monotonically with lambda (3e5: 0.246 -> 3e6: 0.158
+    # -> 3e7: 0.120) while FID worsens 24.5 -> 66.2 up to 3e6 then
+    # RECOVERS slightly (3e7: 62.1) — `relation_lambda=1e7..3e7` strictly
+    # dominates the 3e6 default on BOTH axes there.  Kept at 3e6 for
+    # reference parity; raise it when constraint satisfaction matters.
     relation_lambda: float = 3e6
     relation_mode: str = "average"
     relation_tau: float = 1.0
