@@ -245,6 +245,93 @@ def fused_attention_qkv(
     )(qkv)
 
 
+def _attn_kernel_qkv_smajor(
+    qkv_ref, b_ref, o_ref, *, scale: float, H: int, hd: int, D: int
+):
+    """Same attention as `_attn_kernel_qkv`, but on an S-MAJOR qkv slab.
+
+    The qkv projection GEMM naturally emits its (B, S, 3D) output in the
+    batch-minor layout {2,0,1} — whose bytes ARE the default layout of
+    (S, B, 3D).  Taking the slab in that shape lets the caller's
+    `jnp.swapaxes` become a free bitcast instead of XLA inserting a
+    whole-slab relayout copy before the custom call (measured 1.19 ms
+    x4 layers = 4.8 ms/step = 17% of the flagship sampler; see
+    `can_use_smajor`).  The bias rides into the kernel (it used to fuse
+    into the relayout copy), and the head dots carry their batch dim at
+    position 1 so NO transpose is needed in VMEM either: Mosaic lowers
+    dot_general batch dims at any operand position.  Output stays
+    (Gb, S, D) — identical to the B-major kernel's, so downstream
+    consumers don't change."""
+    x = qkv_ref[...]  # (S, Gb, 3D)
+    x = x + b_ref[...][None, None, :]
+    # Mosaic requires dot batch dims at position 0, so the tile is
+    # transposed ONCE in VMEM (bandwidth ~an order over HBM — this is
+    # the relayout XLA used to do as a whole-slab HBM copy, moved to
+    # where it's cheap); the head loop below is then identical to
+    # `_attn_kernel_qkv`.
+    x = jnp.swapaxes(x, 0, 1)  # (Gb, S, 3D)
+    for h in range(H):
+        q = x[:, :, h * hd : (h + 1) * hd]  # (Gb, S, hd)
+        k = x[:, :, D + h * hd : D + (h + 1) * hd]
+        v = x[:, :, 2 * D + h * hd : 2 * D + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (Gb, S, S)
+        p = jax.nn.softmax(s * scale, axis=-1).astype(v.dtype)
+        o = jax.lax.dot_general(
+            p, v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (Gb, S, hd)
+        o_ref[:, :, h * hd : (h + 1) * hd] = o.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "batch_per_block", "interpret", "scale"),
+)
+def fused_attention_qkv_smajor(
+    qkv_sb: jnp.ndarray,  # (S, B, 3D) packed projection output, S-major
+    bias: jnp.ndarray,  # (3D,) qkv projection bias (added in VMEM)
+    num_heads: int,
+    batch_per_block: int = 0,
+    interpret: bool = False,
+    scale: float = 0.0,
+) -> jnp.ndarray:
+    """Attention on an S-major packed qkv slab; returns (B, S, D).
+
+    Call as ``fused_attention_qkv_smajor(jnp.swapaxes(x @ wq, 0, 1), bq)``
+    — the swapaxes is a free bitcast of the GEMM's natural batch-minor
+    output layout (see `_attn_kernel_qkv_smajor`)."""
+    S, B, D3 = qkv_sb.shape
+    D = D3 // 3
+    H = num_heads
+    hd = D // H
+    scale = scale or 1.0 / math.sqrt(hd)
+    if not batch_per_block:
+        batch_per_block = _auto_batch_per_block_smajor(
+            S, D, qkv_sb.dtype.itemsize
+        )
+    Gb = min(batch_per_block, B)
+    while B % Gb:
+        Gb -= 1
+    return pl.pallas_call(
+        functools.partial(
+            _attn_kernel_qkv_smajor, scale=scale, H=H, hd=hd, D=D
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, S, D), qkv_sb.dtype),
+        grid=(B // Gb,),
+        in_specs=[
+            pl.BlockSpec((S, Gb, D3), lambda i: (0, i, 0)),
+            pl.BlockSpec((D3,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((Gb, S, D), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(qkv_sb, bias)
+
+
 def _vmem_per_row(S: int, d_model: int, itemsize: int) -> int:
     """Bytes of scoped VMEM one batch row costs: double-buffered (S, 3D)
     input and (S, D) output slabs (sublane/lane padded) plus ~3 live f32
@@ -258,6 +345,27 @@ def _vmem_per_row(S: int, d_model: int, itemsize: int) -> int:
 
 
 _VMEM_BUDGET = 14 * 2**20  # 16MB scoped limit minus slack
+
+
+def _vmem_per_row_smajor(S: int, d_model: int, itemsize: int) -> int:
+    """Working-set bytes per batch row for the S-major kernel: the
+    B-major model plus the in-VMEM transposed (Gb, S, 3D) copy and its
+    relayout scratch (observed 18.1MB at S=125/D=512/Gb=8 — ~2.26MB/row
+    vs the B-major kernel's 1.24)."""
+    Sp = -(-S // 8) * 8
+    Sl = -(-S // 128) * 128
+    d3 = -(-(3 * d_model) // 128) * 128
+    return (
+        _vmem_per_row(S, d_model, itemsize)
+        + 2 * Sp * d3 * itemsize  # transposed copy + relayout scratch
+        + Sp * Sl * 4  # extra live score temp observed
+    )
+
+
+def _auto_batch_per_block_smajor(S: int, d_model: int, itemsize: int) -> int:
+    return max(
+        1, min(64, _VMEM_BUDGET // _vmem_per_row_smajor(S, d_model, itemsize))
+    )
 
 
 def _auto_batch_per_block(S: int, d_model: int, itemsize: int) -> int:
