@@ -22,7 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from layoutdm_tpu.configs import SamplingConfig, TestConfig, to_dict
+from layoutdm_tpu.configs import (
+    SamplingConfig,
+    TestConfig,
+    build_sampling_config,
+    to_dict,
+)
 from layoutdm_tpu.data.datasets import load_dataset
 from layoutdm_tpu.data.loader import batch_iterator, split_num_samples
 from layoutdm_tpu.data.transforms import compose_transform
@@ -80,21 +85,7 @@ def run_sampling(test_cfg: TestConfig, seed_dir: str) -> Dict:
             model_state = serialization.from_bytes(model_state, f.read())
         model_state = jax.tree.map(jnp.asarray, model_state)
 
-    sampling = SamplingConfig(
-        name=test_cfg.sampling,
-        temperature=test_cfg.temperature,
-        top_p=test_cfg.top_p,
-        top_k=int(test_cfg.top_k),
-        num_timesteps=test_cfg.num_timesteps,
-        time_difference=test_cfg.time_difference,
-        refine_lambda=test_cfg.refine_lambda,
-        refine_mode=test_cfg.refine_mode,
-        refine_offset_ratio=test_cfg.refine_offset_ratio,
-        relation_lambda=test_cfg.relation_lambda,
-        relation_mode=test_cfg.relation_mode,
-        relation_tau=test_cfg.relation_tau,
-        relation_num_update=test_cfg.relation_num_update,
-    )
+    sampling = build_sampling_config(test_cfg, train_cfg)
 
     split = "val" if test_cfg.is_validation else "test"
     data = load_dataset(
