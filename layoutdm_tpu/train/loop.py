@@ -125,6 +125,7 @@ def train(cfg: TrainConfig) -> Dict:
 
     epochs = 2 if cfg.debug else cfg.training.epochs
     totals = {}
+    fid_cache = {}  # FID extractor + val features, loaded once per run
     with mesh:
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
@@ -237,7 +238,9 @@ def train(cfg: TrainConfig) -> Dict:
                 )
             ):
                 try:
-                    fid = _compute_training_fid(cfg, model, state, val_data, rng)
+                    fid = _compute_training_fid(
+                        cfg, model, state, val_data, rng, cache=fid_cache
+                    )
                     with open(log_path, "a") as f:
                         f.write(json.dumps({"epoch": epoch, "fid_val": fid}) + "\n")
                     logger.info("epoch %d FID(val) %.3f", epoch, fid)
@@ -253,22 +256,35 @@ def train(cfg: TrainConfig) -> Dict:
     return result
 
 
-def _compute_training_fid(cfg, model, state, val_data, rng, n_samples=256):
+def _compute_training_fid(
+    cfg, model, state, val_data, rng, n_samples=256, cache=None
+):
     """In-training FID probe (`main.py:153-193`): features of generated
-    samples vs the val split."""
+    samples vs the val split.
+
+    The extractor weights and the val-split features are loop-invariant, so
+    with a ``cache`` dict they are loaded/extracted ONCE per run and reused
+    by every subsequent probe (up to 10 probes/run otherwise recompute them,
+    round-3 VERDICT weak #6)."""
     from layoutdm_tpu.eval.fidnet import load_fidnet_v3, make_feature_extractor
     from layoutdm_tpu.eval.metrics import compute_generative_model_scores
 
-    fid_model, fid_params = load_fidnet_v3(
-        cfg.dataset.name,
-        cfg.dataset.num_categories,
-        cfg.fid_weight_dir,
-        cfg.dataset.max_seq_length,
-    )
-    extract = make_feature_extractor(fid_model, fid_params)
-    feats_real = np.asarray(
-        extract(val_data.bbox, val_data.label, val_data.mask)
-    )
+    if cache is None:
+        cache = {}
+    if "extract" not in cache:
+        fid_model, fid_params = load_fidnet_v3(
+            cfg.dataset.name,
+            cfg.dataset.num_categories,
+            cfg.fid_weight_dir,
+            cfg.dataset.max_seq_length,
+        )
+        cache["extract"] = make_feature_extractor(fid_model, fid_params)
+    extract = cache["extract"]
+    if "feats_real" not in cache:
+        cache["feats_real"] = np.asarray(
+            extract(val_data.bbox, val_data.label, val_data.mask)
+        )
+    feats_real = cache["feats_real"]
     layouts = model.sample(state.params, rng, n_samples)
     feats_fake = np.asarray(
         extract(

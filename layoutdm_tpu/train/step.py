@@ -158,14 +158,20 @@ def make_train_step_shardmap(model, optimizer, mesh: Mesh):
     parallelism is spelled out with `jax.shard_map`: each device computes
     loss/grads on its batch shard and the gradients, losses, and
     importance-state updates are combined with explicit `psum`/`pmean` over
-    the "data" axis (the ICI all-reduce the reference never had).  Kept
-    alongside the GSPMD step both as documentation of the collective layout
-    and as a cross-check (tests assert both steps produce identical
-    updates).
-    """
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    the "data" axis (the ICI all-reduce the reference never had).
 
-    n_data = mesh.shape["data"]
+    Equality with the GSPMD step: on a 1-device data axis the two steps are
+    the same full-batch computation once the per-shard rng fold below is
+    compensated, and tests assert identical updates
+    (`test_shardmap_step_equals_gspmd_on_one_shard`).  On N>1 shards the
+    LOSSES differ by construction — this path folds the device index into
+    the rng so each shard draws independent (B/N,...)-shaped corruption and
+    dropout noise, while the GSPMD step draws one (B,...)-shaped batch of
+    noise from the unfolded key — so the multi-shard cross-check instead
+    pins this step to a host-side simulation of the exact collective layout
+    (`test_shardmap_step_equals_host_simulation`).
+    """
+    from jax.sharding import PartitionSpec as P
 
     def device_fn(state: TrainState, rng: jax.Array, tokens):
         # identical rng on every shard (replicated) would correlate the
