@@ -263,7 +263,9 @@ class SelfAttention(nn.Module):
         from layoutdm_tpu.ops.attention import (
             can_use_fused,
             can_use_padded_qkv,
+            can_use_smajor,
             fused_attention_qkv,
+            fused_attention_qkv_smajor,
             head_pad_target,
         )
 
@@ -282,13 +284,43 @@ class SelfAttention(nn.Module):
             wp, bp = scatter_qkv_weights(
                 wq.astype(self.dtype), bq.astype(self.dtype), H, hd, hp
             )
-            qkv_pad = x.astype(self.dtype) @ wp + bp
-            o = fused_attention_qkv(
-                qkv_pad, num_heads=H, scale=1.0 / math.sqrt(hd)
-            )
+            if can_use_smajor(
+                S, mask, key_padding_mask, d_model=H * hp,
+                itemsize=jnp.dtype(self.dtype).itemsize,
+            ):
+                # S-major variant: the swapaxes is a free bitcast of the
+                # projection GEMM's batch-minor output layout — the bias
+                # and the transpose move into the kernel's VMEM
+                qkv_sm = jnp.swapaxes(x.astype(self.dtype) @ wp, 0, 1)
+                o = fused_attention_qkv_smajor(
+                    qkv_sm, bp, num_heads=H, scale=1.0 / math.sqrt(hd)
+                )
+            else:
+                qkv_pad = x.astype(self.dtype) @ wp + bp
+                o = fused_attention_qkv(
+                    qkv_pad, num_heads=H, scale=1.0 / math.sqrt(hd)
+                )
             wo, bo = _DenseParams(D, name="out")(D)
             wop = scatter_out_weights(wo.astype(self.dtype), H, hd, hp)
             return o @ wop + bo.astype(self.dtype)
+
+        # S-major variant of the plain fused path (hd already aligned);
+        # same param tree as the nn.Dense branches below
+        if deterministic and can_use_fused(
+            S, mask, key_padding_mask, d_model=D,
+            itemsize=jnp.dtype(self.dtype).itemsize,
+        ) and can_use_smajor(
+            S, mask, key_padding_mask, d_model=D,
+            itemsize=jnp.dtype(self.dtype).itemsize,
+        ):
+            wq, bq = _DenseParams(3 * D, name="qkv")(D)
+            qkv_sm = jnp.swapaxes(
+                x.astype(self.dtype) @ wq.astype(self.dtype), 0, 1
+            )
+            out = fused_attention_qkv_smajor(
+                qkv_sm, bq.astype(self.dtype), num_heads=H
+            )
+            return nn.Dense(D, name="out", dtype=self.dtype)(out)
 
         qkv = nn.Dense(3 * D, name="qkv", dtype=self.dtype)(x)
 

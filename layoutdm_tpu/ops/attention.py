@@ -257,11 +257,11 @@ def _attn_kernel_qkv_smajor(
     whole-slab relayout copy before the custom call (measured 1.19 ms
     x4 layers = 4.8 ms/step = 17% of the flagship sampler; see
     `can_use_smajor`).  The bias rides into the kernel (it used to fuse
-    into the relayout copy), and the head dots carry their batch dim at
-    position 1 so NO transpose is needed in VMEM either: Mosaic lowers
-    dot_general batch dims at any operand position.  Output stays
-    (Gb, S, D) — identical to the B-major kernel's, so downstream
-    consumers don't change."""
+    into the relayout copy), and the tile is transposed ONCE in VMEM —
+    Mosaic wants dot batch dims at operand position 0 — which is the
+    relayout XLA used to do as a whole-slab HBM copy, moved to where
+    bandwidth is ~an order cheaper.  Output stays (Gb, S, D) — identical
+    to the B-major kernel's, so downstream consumers don't change."""
     x = qkv_ref[...]  # (S, Gb, 3D)
     x = x + b_ref[...][None, None, :]
     # Mosaic requires dot batch dims at position 0, so the tile is
@@ -350,16 +350,20 @@ _VMEM_BUDGET = 14 * 2**20  # 16MB scoped limit minus slack
 def _vmem_per_row_smajor(S: int, d_model: int, itemsize: int) -> int:
     """Working-set bytes per batch row for the S-major kernel: the
     B-major model plus the in-VMEM transposed (Gb, S, 3D) copy and its
-    relayout scratch (observed 18.1MB at S=125/D=512/Gb=8 — ~2.26MB/row
-    vs the B-major kernel's 1.24)."""
+    relayout scratch, scaled 1.15x to the OBSERVED Mosaic allocation —
+    18.1MB at S=125/D=512/Gb=8 is 2.26MB/row where the structural terms
+    model only 2.0MiB (the transpose's relayout scratch is opaque to the
+    model); without the factor the auto Gb choice overshoots the 14MB
+    budget and lands within ~1% of the 16MB scoped-VMEM cap."""
     Sp = -(-S // 8) * 8
     Sl = -(-S // 128) * 128
     d3 = -(-(3 * d_model) // 128) * 128
-    return (
+    base = (
         _vmem_per_row(S, d_model, itemsize)
         + 2 * Sp * d3 * itemsize  # transposed copy + relayout scratch
         + Sp * Sl * 4  # extra live score temp observed
     )
+    return int(base * 1.15)
 
 
 def _auto_batch_per_block_smajor(S: int, d_model: int, itemsize: int) -> int:
@@ -490,6 +494,34 @@ def can_use_padded_qkv(
         return False  # already aligned; the plain fused path is identical
     hp = head_pad_target(hd)
     if not fits_vmem(S, num_heads * hp, itemsize):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def can_use_smajor(
+    S: int, mask, key_padding_mask, d_model: int = 0, itemsize: int = 2
+) -> bool:
+    """Gate for the S-major packed-qkv kernel `fused_attention_qkv_smajor`
+    (OFF by default; LAYOUTDM_TPU_SMAJOR=1 enables).
+
+    Hypothesis: the qkv projection GEMM emits its (B, S, 3D) output in a
+    batch-minor layout, and XLA inserts a whole-slab HBM relayout copy
+    (~1.19 ms x4 layers = 4.8 ms/step in the round-3 xplane profile)
+    before the B-major kernel's custom call; taking the slab S-major makes
+    that copy a free bitcast and moves the transpose into VMEM.  Kept
+    gated until the end-to-end flagship measurement accepts it — kernel
+    output is interpret-mode-verified identical to `fused_attention_qkv`
+    (tests/test_pallas_attention.py).  Same safety conditions as
+    `can_use_fused` plus the S-major kernel's own (larger) VMEM model."""
+    import os
+
+    if os.environ.get("LAYOUTDM_TPU_SMAJOR") != "1":
+        return False
+    if not HAS_PALLAS:
+        return False
+    if mask is not None or key_padding_mask is not None:
+        return False
+    if d_model and _vmem_per_row_smajor(S, d_model, itemsize) > _VMEM_BUDGET:
         return False
     return jax.default_backend() == "tpu"
 

@@ -242,3 +242,58 @@ def test_can_use_fused_block_gate(monkeypatch):
     monkeypatch.setenv("LAYOUTDM_TPU_FUSED_BLOCK", "1")
     assert can_use_fused_block(125, None, None, hd=58, d_model=464)
     assert not can_use_fused_block(125, jnp.zeros((125, 125)), None, hd=58)
+
+
+@pytest.mark.skipif(not HAS_PALLAS, reason="pallas unavailable")
+def test_smajor_matches_bmajor(rng):
+    """`fused_attention_qkv_smajor(swapaxes(qkv,0,1), bias)` must equal
+    `fused_attention_qkv(qkv + bias)` — including a batch_per_block that
+    does not divide B (Gb shrinks to a divisor)."""
+    from layoutdm_tpu.ops.attention import fused_attention_qkv_smajor
+
+    B, S, H, hd = 4, 10, 2, 8
+    qkv = rng.randn(B, S, 3 * H * hd).astype(np.float32)
+    bias = rng.randn(3 * H * hd).astype(np.float32)
+
+    want = fused_attention_qkv(
+        jnp.asarray(qkv + bias), num_heads=H, interpret=True
+    )
+    got = fused_attention_qkv_smajor(
+        jnp.swapaxes(jnp.asarray(qkv), 0, 1), jnp.asarray(bias),
+        num_heads=H, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    got3 = fused_attention_qkv_smajor(
+        jnp.swapaxes(jnp.asarray(qkv), 0, 1), jnp.asarray(bias),
+        num_heads=H, batch_per_block=3, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(want), atol=1e-5)
+
+
+def test_can_use_smajor_gate(monkeypatch):
+    """OFF by default (unmeasured end-to-end); LAYOUTDM_TPU_SMAJOR=1 turns
+    it on subject to the same safety conditions as the B-major gate, with
+    the S-major kernel's larger VMEM model."""
+    from layoutdm_tpu.ops.attention import (
+        _VMEM_BUDGET,
+        _auto_batch_per_block_smajor,
+        _vmem_per_row_smajor,
+        can_use_smajor,
+    )
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("LAYOUTDM_TPU_SMAJOR", raising=False)
+    assert not can_use_smajor(125, None, None, d_model=512)
+    monkeypatch.setenv("LAYOUTDM_TPU_SMAJOR", "1")
+    if not HAS_PALLAS:
+        pytest.skip("pallas unavailable")
+    assert can_use_smajor(125, None, None, d_model=512)
+    # masks -> XLA path
+    assert not can_use_smajor(125, jnp.zeros((125, 125)), None, d_model=512)
+    # the auto block choice must respect the 14MB budget at the
+    # calibration point (the ADVICE-flagged overshoot: Gb=7 -> ~15.8MB)
+    gb = _auto_batch_per_block_smajor(125, 512, 2)
+    assert gb * _vmem_per_row_smajor(125, 512, 2) <= _VMEM_BUDGET
+    # ...using the OBSERVED per-row cost (2.26MB/row at S=125/D=512)
+    assert gb * int(2.26 * 2**20) <= _VMEM_BUDGET
