@@ -33,6 +33,8 @@ def main():
     p.add_argument("--out_dir", default="tmp/demo")
     p.add_argument("--untrained", action="store_true")
     p.add_argument("--num_samples", type=int, default=4)
+    p.add_argument("overrides", nargs="*",
+                   help="key=value config overrides (untrained mode)")
     a = p.parse_args()
     os.makedirs(a.out_dir, exist_ok=True)
 
@@ -43,7 +45,8 @@ def main():
         assert a.untrained, "--job_dir or --untrained required"
         cfg = build_train_config(
             "layoutdm", "synthetic",
-            ["data.bbox_quantization=linear", "dataset.max_seq_length=8"],
+            ["data.bbox_quantization=linear", "dataset.max_seq_length=8"]
+            + list(a.overrides),
         )
     cfg.data.pad_until_max = True
     tokenizer = build_tokenizer(cfg)

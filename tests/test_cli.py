@@ -184,3 +184,65 @@ def test_resume_restores_scheduler_lr(tmp_path):
     ]
     resumed = [r for r in rows if r["epoch"] == 3][0]
     assert resumed["lr"] <= meta["scheduler"]["lr"]
+
+
+def test_build_sampling_config_merges_train_defaults():
+    """Sampling knobs left at their TestConfig default inherit the train
+    job's saved sampling config (so `layoutdm_relation_strong`'s lambda
+    reaches sample time); explicit test-side overrides always win."""
+    from layoutdm_tpu.configs import (
+        TestConfig,
+        build_sampling_config,
+        build_train_config,
+    )
+
+    strong = build_train_config("layoutdm_relation_strong", "synthetic", [])
+
+    # untouched test args -> inherit the preset's operating point
+    s = build_sampling_config(TestConfig(cond="relation"), strong)
+    assert s.relation_lambda == 1e7
+
+    # explicit CLI override beats the preset
+    s = build_sampling_config(
+        TestConfig(cond="relation", relation_lambda=5e5), strong
+    )
+    assert s.relation_lambda == 5e5
+
+    # no train config -> pure test args
+    s = build_sampling_config(TestConfig(top_k=7))
+    assert s.top_k == 7 and s.relation_lambda == 3e6
+
+    # num_timesteps always comes from the test args
+    s = build_sampling_config(TestConfig(num_timesteps=25), strong)
+    assert s.num_timesteps == 25
+
+
+def test_demo_untrained_smoke(tmp_path):
+    """`notebooks/demo.py --untrained` — the §3.4 product-API parity target
+    (reference `notebooks/demo.ipynb`) — runs end-to-end and writes every
+    artifact: GT round-trip, unconditional, 4 conditional tasks, GIF."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "demo")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "notebooks", "demo.py"),
+            "--untrained",
+            "--out_dir", out,
+            "--num_samples", "2",
+            "backbone.d_model=64", "backbone.nhead=2",
+            "backbone.dim_feedforward=32", "backbone.num_layers=1",
+            "model.num_timesteps=4", "backbone.diffusion_step=4",
+        ],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    for name in (
+        "gt_roundtrip.png", "unconditional.png", "c.png", "cwh.png",
+        "partial.png", "refinement.png", "diffusion.gif",
+    ):
+        assert os.path.exists(os.path.join(out, name)), name
