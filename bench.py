@@ -37,12 +37,12 @@ from layoutdm_tpu.tokenizer.sequence import LayoutSequenceTokenizer
 CPU_REFERENCE_LAYOUTS_PER_SEC = 0.32  # measured; see BASELINE.md
 
 
-def build_flagship(dtype=jnp.float32):
+def build_flagship(dtype=jnp.float32, num_categories=25, max_elements=25):
     bb = BboxTokenizer(num_bins=32, shared_vocab="x-y-w-h", quantization="linear")
     tok = LayoutSequenceTokenizer(
         bbox_tokenizer=bb,
-        num_categories=25,
-        max_elements=25,
+        num_categories=num_categories,
+        max_elements=max_elements,
         special_tokens=("pad", "mask"),
         pad_until_max=True,
     )
@@ -198,24 +198,59 @@ def main():
     est_flops = flops_per_layout(model)
     achieved_tflops = layouts_per_sec * est_flops / 1e12
     ceiling = measure_gemm_ceiling(batch, model)
-    print(
-        json.dumps(
-            {
-                "metric": "rico25_uncond_layouts_per_sec_chip_T100"
-                + ("_int8" if use_int8 else ""),
-                "value": round(layouts_per_sec, 2),
-                "unit": "layouts/s",
-                "vs_baseline": round(
-                    layouts_per_sec / CPU_REFERENCE_LAYOUTS_PER_SEC, 2
-                ),
-                "batch": batch,
-                "est_gflops_per_layout": round(est_flops / 1e9, 1),
-                "achieved_tflops": round(achieved_tflops, 1),
-                "gemm_ceiling_tflops": round(ceiling, 1),
-                "mfu_vs_gemm_ceiling": round(achieved_tflops / ceiling, 3),
-            }
-        )
+    row = {
+        "metric": "rico25_uncond_layouts_per_sec_chip_T100"
+        + ("_int8" if use_int8 else ""),
+        "value": round(layouts_per_sec, 2),
+        "unit": "layouts/s",
+        "vs_baseline": round(
+            layouts_per_sec / CPU_REFERENCE_LAYOUTS_PER_SEC, 2
+        ),
+        "batch": batch,
+        "est_gflops_per_layout": round(est_flops / 1e9, 1),
+        "achieved_tflops": round(achieved_tflops, 1),
+        "gemm_ceiling_tflops": round(ceiling, 1),
+        "mfu_vs_gemm_ceiling": round(achieved_tflops / ceiling, 3),
+    }
+    if not use_int8:
+        row["publaynet_scale"] = bench_publaynet_scale()
+    print(json.dumps(row))
+
+
+def bench_publaynet_scale(batch=256, n_runs=3):
+    """Second headline shape: max_elements=100 (S=500 tokens, the
+    PubLayNet-scale regime where the fused attention kernel wins 1.68x,
+    docs/DESIGN.md §6) — regressions on the long-sequence path were
+    invisible to the driver with only the S=125 row (round-3 VERDICT
+    weak/next #5).  PubLayNet's 5 categories -> V=135."""
+    model = build_flagship(
+        dtype=jnp.bfloat16, num_categories=5, max_elements=100
     )
+    params = model.init(jax.random.PRNGKey(0))
+    sampling = SamplingConfig(name="random")
+
+    fn = jax.jit(
+        lambda rng: model.sample_ids(params, rng, batch, sampling=sampling)
+    )
+    ids = fn(jax.random.PRNGKey(1))
+    ids.block_until_ready()
+    int(jnp.sum(ids))  # warm the sum outside the timed region
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        ids = fn(jax.random.PRNGKey(2 + i))
+    int(jnp.sum(ids))  # scalar fetch = real sync over the axon tunnel
+    dt = time.perf_counter() - t0
+    lps = batch * n_runs / dt
+    est_flops = flops_per_layout(model)
+    return {
+        "metric": "publaynet_scale_uncond_layouts_per_sec_chip_T100",
+        "value": round(lps, 2),
+        "unit": "layouts/s",
+        "batch": batch,
+        "seq_tokens": model.seq_len,
+        "est_gflops_per_layout": round(est_flops / 1e9, 1),
+        "achieved_tflops": round(lps * est_flops / 1e12, 1),
+    }
 
 
 if __name__ == "__main__":
