@@ -145,7 +145,37 @@ def main():
     use_int8 = can_use_int8(model.backbone_cfg) and "elem_emb" in params.get(
         "pos", {}
     )
-    if use_int8:
+
+    # LAYOUTDM_TPU_DPAD=1: the lane-aligned (d_model-padded) serving mirror
+    # (alternate metric name; the headline stays the plain bf16 path)
+    from layoutdm_tpu.models.dpad_serving import (
+        can_use_dpad,
+        make_dpad_predict_start,
+    )
+
+    use_dpad = (
+        not use_int8
+        and can_use_dpad(model.backbone_cfg)
+        and "elem_emb" in params.get("pos", {})
+    )
+    if use_dpad:
+        from layoutdm_tpu.models.diffusion.sampler import (
+            SamplerCond,
+            sample_chain,
+        )
+
+        dpad_ps = make_dpad_predict_start(model, params)
+        pad_id = model.tokenizer.name_to_id("pad")
+
+        def run(rng, batch_size):
+            cond = SamplerCond.empty(
+                batch_size, model.seq_len, model.num_classes
+            )
+            return sample_chain(
+                params, dpad_ps, model.q, rng, cond, sampling, pad_id=pad_id
+            )
+
+    elif use_int8:
         from layoutdm_tpu.models.diffusion.sampler import (
             SamplerCond,
             sample_chain,
@@ -200,7 +230,7 @@ def main():
     ceiling = measure_gemm_ceiling(batch, model)
     row = {
         "metric": "rico25_uncond_layouts_per_sec_chip_T100"
-        + ("_int8" if use_int8 else ""),
+        + ("_int8" if use_int8 else "_dpad" if use_dpad else ""),
         "value": round(layouts_per_sec, 2),
         "unit": "layouts/s",
         "vs_baseline": round(
@@ -212,7 +242,7 @@ def main():
         "gemm_ceiling_tflops": round(ceiling, 1),
         "mfu_vs_gemm_ceiling": round(achieved_tflops / ceiling, 3),
     }
-    if not use_int8:
+    if not use_int8 and not use_dpad:
         row["publaynet_scale"] = bench_publaynet_scale()
     print(json.dumps(row))
 

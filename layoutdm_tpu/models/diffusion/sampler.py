@@ -98,12 +98,25 @@ def make_predict_start(apply_fn, num_classes: int):
 
     Takes x_t as token IDS (B, S) — x_t is categorical throughout the chain,
     so no (B, S, V) one-hot ever needs to exist (round-1 VERDICT, weak #1).
+
+    The denoiser may emit LANE-PADDED logits (`nn.use_vocab_pad`: width
+    vocab_pad_target(V) with a -1e9 bias on MASK+pad lanes).  The
+    log_softmax then runs over the padded width — exp(-1e9 - max)
+    underflows to exactly 0 in f32, so the normalizer is identical — and
+    the slice back to V-1 lanes happens AFTER that reduction, which keeps
+    XLA from propagating the slice into the head GEMM and narrowing it
+    back to the misaligned N (the slice-DCE pitfall, docs/DESIGN.md §5).
     """
 
     def predict_start(params, ids, t, rng=None):
-        logits = apply_fn(params, ids, t, rng)  # (B, S, V)
-        out = logits[..., :-1]
-        log_pred = jax.nn.log_softmax(out, axis=-1)
+        logits = apply_fn(params, ids, t, rng)  # (B, S, V) or (B, S, Vpad)
+        if logits.shape[-1] == num_classes:
+            out = logits[..., :-1]
+            log_pred = jax.nn.log_softmax(out, axis=-1)
+        else:
+            log_pred = jax.nn.log_softmax(logits, axis=-1)[
+                ..., : num_classes - 1
+            ]
         mask_lane = jnp.full_like(log_pred[..., :1], -70.0)
         log_pred = jnp.concatenate([log_pred, mask_lane], axis=-1)
         return jnp.clip(log_pred, -70.0, 0.0)

@@ -75,6 +75,8 @@ class LayoutDM:
                 dtype=dtype,
             )
         else:
+            from layoutdm_tpu.models.nn import use_vocab_pad
+
             self.net = CategoricalTransformer(
                 backbone=self.backbone_cfg,
                 num_classes=self.num_classes,
@@ -82,6 +84,9 @@ class LayoutDM:
                 pos_emb=cfg.pos_emb,
                 n_attr_per_elem=tokenizer.N_var_per_element,
                 dtype=dtype,
+                # safe here because every LayoutDM consumer goes through
+                # make_predict_start, which handles the padded width
+                vocab_pad=use_vocab_pad(self.num_classes),
             )
         self._predict_start = make_predict_start(
             self._apply_net, self.num_classes

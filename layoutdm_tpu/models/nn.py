@@ -373,6 +373,59 @@ class SelfAttention(nn.Module):
         return nn.Dense(D, name="out", dtype=self.dtype)(out)
 
 
+def vocab_pad_target(V: int) -> int:
+    """Next multiple-of-128 lane width for the vocabulary head GEMM."""
+    return -(-V // 128) * 128
+
+
+def use_vocab_pad(V: int) -> bool:
+    """Gate for the lane-padded vocabulary head (LAYOUTDM_TPU_VOCAB_PAD=1
+    forces on, =0 forces off).
+
+    Hypothesis: the flagship head GEMM's N=155 is lane-hostile — the
+    round-3 roofline measured the (464, 155) pair at 51 TF/s vs 150+ for
+    aligned shapes (docs/DESIGN.md §5).  Zero-padding the head KERNEL to
+    the next 128-lane multiple is exact and loop-invariant (XLA hoists the
+    pad out of the sampling scan); the -1e9 bias on MASK+pad lanes makes
+    the downstream log_softmax normalizer identical (exp(-1e9-max)
+    underflows to exactly 0 in f32), so `make_predict_start` can slice
+    AFTER the reduction — slicing the GEMM output directly would let XLA
+    propagate the slice into the GEMM and narrow N right back (the
+    slice-DCE pitfall, docs/DESIGN.md §5).
+
+    MEASURED, REJECTED as default (round 4, docs/DESIGN.md §6): 357.0 vs
+    360.0 layouts/s end-to-end — the head is only ~0.7% of step FLOPs,
+    so its low GEMM rate never mattered.  Exactness and wiring stay
+    tested (`test_vocab_padded_head_exact`); =1 forces for vocabularies
+    large enough for the head to be a real cost."""
+    import os
+
+    force = os.environ.get("LAYOUTDM_TPU_VOCAB_PAD")
+    if force == "0":
+        return False
+    if V % 128 == 0:
+        return False  # already aligned; padding is a no-op
+    if force == "1":
+        return True
+    return False
+
+
+class _DenseKernel(nn.Module):
+    """`nn.Dense(use_bias=False)`'s kernel param (same name, shape, default
+    initializer) without running it — lets the lane-padded vocabulary head
+    share one param tree with the plain `nn.Dense` head."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+
+
 class _DenseParams(nn.Module):
     """Declares exactly `nn.Dense`'s params (same names, shapes, default
     initializers) without running it — lets the fused-FFN pallas path share
@@ -897,6 +950,11 @@ class CategoricalTransformer(nn.Module):
     lookahead: bool = True  # False => causal mask (AR models)
     dtype: jnp.dtype = jnp.float32
     decode: bool = False  # KV-cached single-token AR decoding
+    # opt-in lane-padded head: emit (B, S, vocab_pad_target(V)) logits with
+    # a -1e9 bias on MASK+pad lanes.  Only callers whose downstream is
+    # `make_predict_start` (LayoutDM) may set this — other consumers
+    # (MaskGIT/BLT/AR decode) read raw per-lane logits and keep V lanes.
+    vocab_pad: bool = False
 
     @nn.compact
     def __call__(
@@ -945,6 +1003,18 @@ class CategoricalTransformer(nn.Module):
         )(h, timestep, attn_mask, key_padding_mask, deterministic)
         h = h.astype(jnp.float32)
         h = nn.LayerNorm(name="head_norm")(h)
+        if self.vocab_pad and use_vocab_pad(self.num_classes):
+            # lane-padded head (see `use_vocab_pad`): zero-pad the kernel
+            # columns to a 128-lane multiple and bias MASK+pad lanes to
+            # -1e9; `make_predict_start` log_softmaxes over the padded
+            # width (identical normalizer) and slices after the reduction
+            w = _DenseKernel(self.num_classes, name="head")(h.shape[-1])
+            Vp = vocab_pad_target(self.num_classes)
+            wp = jnp.pad(w, ((0, 0), (0, Vp - self.num_classes)))
+            lane_bias = jnp.where(
+                jnp.arange(Vp) >= self.num_classes - 1, -1e9, 0.0
+            ).astype(h.dtype)
+            return h @ wp + lane_bias
         logits = nn.Dense(
             self.num_classes, use_bias=False, name="head"
         )(h)

@@ -315,8 +315,20 @@ def fused_attention_qkv_smajor(
             S, D, qkv_sb.dtype.itemsize
         )
     Gb = min(batch_per_block, B)
-    while B % Gb:
-        Gb -= 1
+    if not interpret:
+        # Mosaic: the block's last two dims must be divisible by (8, 128)
+        # or equal the array's — here the SUBLANE dim of the (S, Gb, 3D)
+        # block is the batch group, so Gb must be a multiple of 8 (or the
+        # whole batch).  Interpret mode has no such constraint.
+        if B % 8 == 0 and B >= 8:
+            Gb = max(8, Gb // 8 * 8)
+            while B % Gb:
+                Gb -= 8
+        else:
+            Gb = B  # block == full array dim satisfies the constraint
+    else:
+        while B % Gb:
+            Gb -= 1
     return pl.pallas_call(
         functools.partial(
             _attn_kernel_qkv_smajor, scale=scale, H=H, hd=hd, D=D
@@ -367,9 +379,12 @@ def _vmem_per_row_smajor(S: int, d_model: int, itemsize: int) -> int:
 
 
 def _auto_batch_per_block_smajor(S: int, d_model: int, itemsize: int) -> int:
-    return max(
-        1, min(64, _VMEM_BUDGET // _vmem_per_row_smajor(S, d_model, itemsize))
-    )
+    """Largest multiple-of-8 batch group (Mosaic sublane constraint on the
+    (S, Gb, 3D) block) whose working set fits; floor of 8 — the observed
+    allocation at the calibration point (18.1MB, Gb=8) compiled fine, so
+    the minimum legal group is allowed to exceed the conservative budget."""
+    g = (_VMEM_BUDGET // _vmem_per_row_smajor(S, d_model, itemsize)) // 8 * 8
+    return max(8, min(64, g))
 
 
 def _auto_batch_per_block(S: int, d_model: int, itemsize: int) -> int:

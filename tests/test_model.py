@@ -243,3 +243,41 @@ def test_embed_tokens_exact(rng):
     g, o = Both().apply(Both().init(jax.random.PRNGKey(0), seq), seq)
     assert g.dtype == o.dtype == jnp.float32
     assert bool(jnp.all(g == o))
+
+
+def test_vocab_padded_head_exact(monkeypatch):
+    """LAYOUTDM_TPU_VOCAB_PAD=1: the lane-padded head (kernel zero-padded
+    to a 128-lane multiple, -1e9 bias on MASK+pad lanes, slice after the
+    log_softmax) must reproduce the plain head's predict_start outputs and
+    sampled trajectories on the SAME params — the -1e9 lanes underflow to
+    exactly zero probability, so the normalizer is identical."""
+    from layoutdm_tpu.models.nn import use_vocab_pad, vocab_pad_target
+
+    model_plain = tiny_model()
+    params = model_plain.init(jax.random.PRNGKey(0))
+    V = model_plain.num_classes
+    assert V % 128 != 0 and vocab_pad_target(V) % 128 == 0
+
+    monkeypatch.setenv("LAYOUTDM_TPU_VOCAB_PAD", "1")
+    assert use_vocab_pad(V)
+    model_pad = tiny_model()
+    # identical param tree (the padded head declares the same head/kernel)
+    assert jax.tree_util.tree_structure(
+        model_pad.init(jax.random.PRNGKey(0))
+    ) == jax.tree_util.tree_structure(params)
+
+    ids = jnp.zeros((2, model_plain.seq_len), jnp.int32)
+    t = jnp.zeros((2,), jnp.int32)
+    lp_plain = model_plain._predict_start(params, ids, t)
+    lp_pad = model_pad._predict_start(params, ids, t)
+    assert lp_pad.shape == lp_plain.shape  # (B, S, V) both
+    np.testing.assert_allclose(
+        np.asarray(lp_pad), np.asarray(lp_plain), rtol=1e-6, atol=1e-6
+    )
+
+    out_plain = model_plain.sample_ids(params, jax.random.PRNGKey(3), 2)
+    out_pad = model_pad.sample_ids(params, jax.random.PRNGKey(3), 2)
+    np.testing.assert_array_equal(np.asarray(out_plain), np.asarray(out_pad))
+
+    monkeypatch.setenv("LAYOUTDM_TPU_VOCAB_PAD", "0")
+    assert not use_vocab_pad(V)
