@@ -51,11 +51,26 @@ class DatasetConfig:
     name: str = "rico25"  # rico5 | rico13 | rico25 | publaynet | synthetic
     dir: str = "download/datasets"
     max_seq_length: int = 25
+    # dotted module path or .py file whose import registers a CUSTOM
+    # dataset (registry.register_dataset; docs/custom_dataset.md) — makes
+    # the registration reachable from persisted configs and `key=value`
+    # CLIs (e.g. `dataset.register_module=my_pkg.my_dataset`)
+    register_module: str = ""
+
+    def ensure_registered(self) -> None:
+        """Import the custom-dataset registration module, if any.  Called
+        lazily by `num_categories` and by the CLI entry points before the
+        first registry lookup."""
+        if self.register_module:
+            from layoutdm_tpu.registry import import_registrations
+
+            import_registrations(self.register_module)
 
     @property
     def num_categories(self) -> int:
         if self.name == "synthetic":
             return 5
+        self.ensure_registered()
         return len(DATASET_LABELS[self.name])
 
 

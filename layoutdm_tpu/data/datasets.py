@@ -24,7 +24,7 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from layoutdm_tpu.registry import DATASET_LABELS
+from layoutdm_tpu.registry import DATASET_LABELS, DATASET_PARSERS
 
 
 @dataclass
@@ -259,6 +259,12 @@ def load_dataset(
         bbox, label, mask = _pad_layouts(layouts, max_seq_length)
         return LayoutData(name, bbox, label, mask, DATASET_LABELS["rico5"])
 
+    if name not in DATASET_LABELS:
+        raise KeyError(
+            f"unknown dataset {name!r}; built-ins are "
+            f"{sorted(DATASET_LABELS)} — register custom datasets via "
+            "layoutdm_tpu.registry.register_dataset (docs/custom_dataset.md)"
+        )
     labels = DATASET_LABELS[name]
     proc_dir = os.path.join(data_dir, f"{name}-max{max_seq_length}", "processed")
     proc_path = os.path.join(proc_dir, f"{split}.npz")
@@ -299,15 +305,43 @@ def load_dataset(
         train = [train[i] for i in idx]
         s = int(len(train) * 0.95)
         parts = {"train": train[:s], "val": train[s:], "test": val}
+    elif name in DATASET_PARSERS:
+        parsed = DATASET_PARSERS[name](raw_dir, max_seq_length)
+        if isinstance(parsed, dict):
+            missing = [s for s in SPLITS if s not in parsed]
+            if missing:
+                raise ValueError(
+                    f"custom parser for {name!r} returned splits "
+                    f"{sorted(parsed)} — missing {missing}"
+                )
+            parts = {s: list(parsed[s]) for s in SPLITS}
+        else:
+            # flat list -> the reference's seeded shuffle + 85/5/10
+            layouts = list(parsed)
+            idx = _seeded_permutation(len(layouts))
+            layouts = [layouts[i] for i in idx]
+            N = len(layouts)
+            parts = {
+                "train": layouts[: int(N * 0.85)],
+                "val": layouts[int(N * 0.85) : int(N * 0.90)],
+                "test": layouts[int(N * 0.90) :],
+            }
     else:
-        raise KeyError(name)
+        raise KeyError(
+            f"dataset {name!r} has no processed cache at {proc_path}, no "
+            "built-in parser, and no registered custom parser — either "
+            "ship pre-built .npz splits or pass parser= to "
+            "registry.register_dataset (docs/custom_dataset.md)"
+        )
 
     for s, ls in parts.items():
         bbox, label, mask = _pad_layouts(ls, max_seq_length)
         np.savez_compressed(
             os.path.join(proc_dir, f"{s}.npz"),
             bbox=bbox, label=label, mask=mask,
-            names=np.asarray([lay[2] for lay in ls]),
+            names=np.asarray(
+                [lay[2] if len(lay) > 2 else "" for lay in ls]
+            ),
         )
     z = np.load(proc_path)
     return LayoutData(

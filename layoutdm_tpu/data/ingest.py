@@ -99,18 +99,44 @@ def _check_raw(name: str, raw_dir: str) -> None:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    p.add_argument("dataset", choices=sorted(EXPECTED_RAW))
+    p.add_argument(
+        "dataset",
+        help="built-in name (%s) or a custom dataset registered via "
+        "--register_module" % "/".join(sorted(EXPECTED_RAW)),
+    )
     p.add_argument("--data_dir", default="download/datasets")
     p.add_argument("--max_seq_length", type=int, default=25)
     p.add_argument(
         "--force", action="store_true", help="re-parse even if npz exist"
     )
+    p.add_argument(
+        "--register_module",
+        default="",
+        help="dotted module path or .py file whose import registers a "
+        "custom dataset (registry.register_dataset; docs/custom_dataset.md)",
+    )
     a = p.parse_args(argv)
+
+    if a.register_module:
+        from layoutdm_tpu.registry import import_registrations
+
+        import_registrations(a.register_module)
+    if a.dataset not in DATASET_LABELS:
+        p.error(
+            f"unknown dataset {a.dataset!r}; built-ins: "
+            f"{sorted(EXPECTED_RAW)}; custom datasets need "
+            "--register_module"
+        )
 
     root = os.path.join(a.data_dir, f"{a.dataset}-max{a.max_seq_length}")
     raw_dir = os.path.join(root, "raw")
     proc_dir = os.path.join(root, "processed")
-    _check_raw(a.dataset, raw_dir)
+    if a.dataset in EXPECTED_RAW:
+        _check_raw(a.dataset, raw_dir)
+    else:
+        # custom dataset: its registered parser owns the raw schema
+        print(f"custom dataset {a.dataset!r}: raw validation delegated to "
+              "its registered parser")
 
     if a.force:
         for s in SPLITS:

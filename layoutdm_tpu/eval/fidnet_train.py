@@ -140,7 +140,16 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--iteration", type=int, default=200_000)
     p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument(
+        "--register_module",
+        default="",
+        help="module/.py registering a custom dataset (docs/custom_dataset.md)",
+    )
     a = p.parse_args(argv)
+    if a.register_module:
+        from layoutdm_tpu.registry import import_registrations
+
+        import_registrations(a.register_module)
     train_fidnet(
         a.dataset, a.data_dir, a.out_dir, a.max_seq_length, a.batch_size,
         a.iteration, a.lr,

@@ -69,6 +69,7 @@ def evaluate_results(
     ds = train_cfg.dataset
     S = ds.max_seq_length
 
+    ds.ensure_registered()
     test_data = load_dataset(ds.name, ds.dir, "test", S)
     real_layouts = loader_to_list(test_data)
 

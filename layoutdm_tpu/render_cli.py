@@ -43,7 +43,7 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
 
     S = cfg.dataset.max_seq_length
-    n_cat = cfg.dataset.num_categories
+    n_cat = cfg.dataset.num_categories  # triggers ensure_registered()
     canvas = DATASET_CANVAS.get(cfg.dataset.name, (360, 520))
 
     layouts = res["results"][: a.num_samples]

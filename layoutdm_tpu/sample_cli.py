@@ -88,6 +88,7 @@ def run_sampling(test_cfg: TestConfig, seed_dir: str) -> Dict:
     sampling = build_sampling_config(test_cfg, train_cfg)
 
     split = "val" if test_cfg.is_validation else "test"
+    train_cfg.dataset.ensure_registered()
     data = load_dataset(
         train_cfg.dataset.name, train_cfg.dataset.dir, split,
         train_cfg.dataset.max_seq_length,

@@ -48,6 +48,7 @@ def train(cfg: TrainConfig) -> Dict:
     rng_np = np.random.RandomState(cfg.seed)
     rng = jax.random.PRNGKey(cfg.seed)
 
+    cfg.dataset.ensure_registered()  # custom datasets (docs/custom_dataset.md)
     train_data = load_dataset(
         cfg.dataset.name, cfg.dataset.dir, "train", cfg.dataset.max_seq_length
     )
