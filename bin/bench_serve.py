@@ -10,12 +10,16 @@ Measures, per timestep-ladder rung:
 Usage:
     python -m layoutdm_tpu.serve_cli job_dir=<dir> port=8705 \
         timestep_ladder=25,100 &
-    python bin/bench_serve.py http://127.0.0.1:8705
+    python bin/bench_serve.py http://127.0.0.1:8705 [--out FILE]
 
-Prints one JSON line per scenario plus a final JSON array.
+Prints one JSON line per scenario plus a final JSON array, and writes the
+whole run (server info + all scenario rows) to a versioned artifact
+(default `benchmarks/serve_latency.json`, committed so serving latency is
+tracked round-over-round — round-4 VERDICT next #7).
 """
 
 import json
+import os
 import sys
 import threading
 import time
@@ -78,7 +82,16 @@ def run(url, t_eval, n_req, n_threads, batch_size):
 
 
 def main():
-    url = sys.argv[1] if len(sys.argv) > 1 else "http://127.0.0.1:8705"
+    args = [a for a in sys.argv[1:]]
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks", "serve_latency.json",
+    )
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i : i + 2]
+    url = args[0] if args else "http://127.0.0.1:8705"
     info = healthz(url)
     print(json.dumps(info))
     rungs = (info.get("timestep_ladder") or []) + [None]  # None = trained T
@@ -96,6 +109,24 @@ def main():
             print(json.dumps(r))
             out.append(r)
     print(json.dumps(out))
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "captured_unix": int(time.time()),
+                "server": {
+                    k: info.get(k)
+                    for k in (
+                        "timestep_ladder", "max_batch_size", "tasks",
+                        "model", "dataset",
+                    )
+                },
+                "scenarios": out,
+            },
+            f,
+            indent=1,
+        )
+    print(f"wrote {out_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

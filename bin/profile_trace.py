@@ -53,6 +53,32 @@ def capture(trace_dir: str, batch: int, steps: int) -> None:
         # on the remote-TPU path — docs/DESIGN.md §6)
 
 
+def capture_train(trace_dir: str, batch: int, steps: int) -> None:
+    """Trace `steps` pipelined dispatches of the flagship train step
+    (fwd + bwd + AdamW + clip + Lt update) — the round-5 train-MFU
+    investigation's capture path.  Divide the summary's total-ms by
+    --steps for per-step numbers."""
+    from bench import build_flagship
+    from layoutdm_tpu.train.step import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model = build_flagship(dtype=jnp.bfloat16)
+    optimizer = make_optimizer()
+    state = init_train_state(model, optimizer, jax.random.PRNGKey(0))
+    step = make_train_step(model, optimizer)
+    V, S = model.num_classes, model.seq_len
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (batch, S), 0, V)
+    state, m = step(state, jax.random.PRNGKey(2), tokens)  # compile
+    jax.block_until_ready(m["loss"])
+    with jax.profiler.trace(trace_dir):
+        for i in range(steps):
+            state, m = step(state, jax.random.PRNGKey(3 + i), tokens)
+        float(m["loss"])  # scalar fetch = real sync
+
+
 def summarize(trace_dir: str, top: int) -> None:
     # the xplane proto ships inside tensorflow's tsl tree in this image
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
@@ -116,6 +142,12 @@ def main():
     p.add_argument("--top", type=int, default=30)
     p.add_argument("--trace_dir", default="/tmp/jaxtrace")
     p.add_argument(
+        "--train",
+        action="store_true",
+        help="trace the train step (N pipelined dispatches) instead of "
+        "the sampler; --steps becomes the dispatch count",
+    )
+    p.add_argument(
         "--summarize",
         nargs="?",
         const="/tmp/jaxtrace",
@@ -129,7 +161,10 @@ def main():
     import shutil
 
     shutil.rmtree(a.trace_dir, ignore_errors=True)
-    capture(a.trace_dir, a.batch, a.steps)
+    if a.train:
+        capture_train(a.trace_dir, a.batch, a.steps)
+    else:
+        capture(a.trace_dir, a.batch, a.steps)
     summarize(a.trace_dir, a.top)
 
 

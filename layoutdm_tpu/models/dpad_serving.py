@@ -34,8 +34,13 @@ aligned weights.  Scope (`can_use_dpad`): the flagship family —
 elem_attr positions, adalayernorm (embedding-table variant), lookahead
 dense attention, d_model not already 128-aligned.
 
-MEASURED OUTCOME: see docs/DESIGN.md §6 ledger (bench via
-LAYOUTDM_TPU_DPAD=1).
+MEASURED OUTCOME (docs/DESIGN.md §6 "dpad" ledger entry): REJECTED —
+`LAYOUTDM_TPU_DPAD=1 python bench.py` measures 340.2 layouts/s / MFU
+0.615 vs the 359.4 / 0.641 default.  The masked-norm statistics over the
+padded width, the pad-lane re-zeroing, and the +10% wider bf16 residual
+stream cost more than the GEMM alignment saves at these
+not-MXU-rate-bound shapes.  Kept gated (off by default) with its
+exactness test pack for a future compute-bound model.
 """
 
 from __future__ import annotations
@@ -72,10 +77,11 @@ def can_use_dpad(
 ) -> bool:
     """Gate for the lane-aligned serving mirror (LAYOUTDM_TPU_DPAD=1).
 
-    Default OFF pending the end-to-end measurement ledger entry
-    (docs/DESIGN.md §6 discipline); scope limits mirror `can_use_int8`'s
-    (the mirror has no attention-mask support and reads the
-    embedding-table AdaLayerNorm layout)."""
+    Default OFF — a measured negative result (module docstring /
+    docs/DESIGN.md §6: 340.2 vs 359.4 layouts/s on the flagship bench);
+    scope limits mirror `can_use_int8`'s (the mirror has no
+    attention-mask support and reads the embedding-table AdaLayerNorm
+    layout)."""
     if os.environ.get("LAYOUTDM_TPU_DPAD") != "1":
         return False
     if not lookahead:

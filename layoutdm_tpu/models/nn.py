@@ -322,6 +322,83 @@ class SelfAttention(nn.Module):
             )
             return nn.Dense(D, name="out", dtype=self.dtype)(out)
 
+        from layoutdm_tpu.ops.attention import (
+            can_use_fused_diff,
+            fused_attention_qkv_diff,
+        )
+
+        # DIFFERENTIABLE fused attention (custom_vjp, pallas fwd + bwd):
+        # the branch jax.grad-wrapped training takes — the f32 (B,H,S,S)
+        # scores never touch HBM in either direction and no head-split
+        # relayout copies surround the einsums (~19% of the train step in
+        # the round-5 xplane profile).  Exact only at attention-dropout
+        # 0.0 (the flagship family's training config); weights are
+        # zero-scattered to 64-aligned head blocks when hd is misaligned,
+        # same as the serving path (the scatter is linear, AD-exact).
+        _hp = head_pad_target(hd)
+        if can_use_fused_diff(
+            S, mask, key_padding_mask, self.dropout,
+            d_model=H * _hp if hd % 64 else D,
+            itemsize=jnp.dtype(self.dtype).itemsize,
+        ):
+            wq, bq = _DenseParams(3 * D, name="qkv")(D)
+            wo, bo = _DenseParams(D, name="out")(D)
+            if hd % 64:
+                wp, bp = scatter_qkv_weights(
+                    wq.astype(self.dtype), bq.astype(self.dtype), H, hd, _hp
+                )
+                qkv_pad = x.astype(self.dtype) @ wp + bp
+                o = fused_attention_qkv_diff(
+                    qkv_pad, H, 1.0 / math.sqrt(hd)
+                )
+                wop = scatter_out_weights(wo.astype(self.dtype), H, hd, _hp)
+                return o @ wop + bo.astype(self.dtype)
+            qkv = x.astype(self.dtype) @ wq.astype(self.dtype) + bq.astype(
+                self.dtype
+            )
+            o = fused_attention_qkv_diff(qkv, H)
+            return o @ wo.astype(self.dtype) + bo.astype(self.dtype)
+
+        from layoutdm_tpu.ops.attention import use_train_headpad_w
+
+        # differentiable weight-scattered padded heads (OFF by default —
+        # measured 0.2% wash at flagship train shapes, see
+        # use_train_headpad_w; LAYOUTDM_TPU_TRAIN_HEADPAD=1 enables): the
+        # serving trick (scatter projection WEIGHTS to 64-aligned head
+        # blocks so the GEMMs emit aligned layouts with zero runtime pad
+        # copies) is linear, hence AD-safe — this is the pallas-free
+        # branch jax.grad-wrapped training can take.  Supports masks and
+        # attention dropout like the plain XLA path below.
+        if use_train_headpad_w(hd):
+            hp = head_pad_target(hd)
+            wq, bq = _DenseParams(3 * D, name="qkv")(D)
+            wp, bp = scatter_qkv_weights(
+                wq.astype(self.dtype), bq.astype(self.dtype), H, hd, hp
+            )
+            qkv_pad = x.astype(self.dtype) @ wp + bp  # (B, S, 3*H*hp)
+            q, k, v = jnp.split(qkv_pad, 3, axis=-1)
+            q = q.reshape(B, S, H, hp)
+            k = k.reshape(B, S, H, hp)
+            v = v.reshape(B, S, H, hp)
+            # zero lanes add zero score terms; scale by the TRUE head dim
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
+            if mask is not None:
+                scores = scores + mask[None, None].astype(scores.dtype)
+            if key_padding_mask is not None:
+                neg = jnp.asarray(-1e9, dtype=scores.dtype)
+                scores = jnp.where(
+                    key_padding_mask[:, None, None, :], neg, scores
+                )
+            attn = jax.nn.softmax(
+                scores.astype(jnp.float32), axis=-1
+            ).astype(self.dtype)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            o = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, S, H * hp)
+            wo, bo = _DenseParams(D, name="out")(D)
+            # zero rows under the padded lanes drop v's zero outputs exactly
+            wop = scatter_out_weights(wo.astype(self.dtype), H, hd, hp)
+            return o @ wop + bo.astype(self.dtype)
+
         qkv = nn.Dense(3 * D, name="qkv", dtype=self.dtype)(x)
 
         # fused path ONLY when deterministic: (a) attention dropout needs
