@@ -208,7 +208,10 @@ def _auto_block_for_block_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "batch_per_block", "interpret", "scale"),
+    static_argnames=(
+        "num_heads", "batch_per_block", "interpret", "scale",
+        "vmem_limit_bytes",
+    ),
 )
 def fused_attention_qkv(
     qkv: jnp.ndarray,  # (B, S, 3D) packed projection output
@@ -216,23 +219,34 @@ def fused_attention_qkv(
     batch_per_block: int = 0,
     interpret: bool = False,
     scale: float = 0.0,
+    vmem_limit_bytes: int = 0,
 ) -> jnp.ndarray:
     """Attention directly on the packed qkv projection output; returns
     (B, S, D).
 
     ``scale`` overrides the 1/sqrt(hd) default — the weight-padded-head
     path feeds hd=64 slabs whose true head size is 58, so the softmax
-    scale must come from the caller."""
+    scale must come from the caller.  When no block is forced, the
+    block plan may RAISE Mosaic's scoped-VMEM limit above the 16MB
+    default to admit a larger batch group (`_fwd_block_plan`; measured
+    sweep in docs/DESIGN.md §6 'scoped-VMEM raise')."""
     B, S, D3 = qkv.shape
     D = D3 // 3
     H = num_heads
     hd = D // H
     scale = scale or 1.0 / math.sqrt(hd)
     if not batch_per_block:
-        batch_per_block = _auto_batch_per_block(S, D, qkv.dtype.itemsize)
+        batch_per_block, vmem_limit_bytes = _fwd_block_plan(
+            S, D, qkv.dtype.itemsize
+        )
     Gb = min(batch_per_block, B)
     while B % Gb:
         Gb -= 1
+    params = {}
+    if vmem_limit_bytes and not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes)
+        )
     in_spec = pl.BlockSpec((Gb, S, D3), lambda i: (i, 0, 0))
     out_spec = pl.BlockSpec((Gb, S, D), lambda i: (i, 0, 0))
     return pl.pallas_call(
@@ -242,7 +256,21 @@ def fused_attention_qkv(
         in_specs=[in_spec],
         out_specs=out_spec,
         interpret=interpret,
+        **params,
     )(qkv)
+
+
+def _fwd_block_plan(S: int, d_model: int, itemsize: int) -> tuple:
+    """(batch_per_block, vmem_limit_bytes) for the forward kernel — same
+    raised-scoped-limit policy as `_bwd_block_plan` (Gb capped at 32: the
+    measured sweep at B=1024/S=125/D=512 put Gb=32 ahead of both 8 and
+    64 — docs/DESIGN.md §6 'scoped-VMEM raise')."""
+    per_row = _vmem_per_row(S, d_model, itemsize)
+    budget = _VMEM_RAISED_BUDGET
+    g = max(1, min(32, budget // per_row))
+    if g <= max(1, min(32, _VMEM_BUDGET // per_row)):
+        return g, 0  # the default limit already admits it; don't raise
+    return g, int(g * per_row + (4 << 20))
 
 
 def _attn_kernel_qkv_smajor(
@@ -419,7 +447,10 @@ def _attn_bwd_kernel_qkv(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "batch_per_block", "interpret", "scale"),
+    static_argnames=(
+        "num_heads", "batch_per_block", "interpret", "scale",
+        "vmem_limit_bytes",
+    ),
 )
 def fused_attention_qkv_bwd(
     qkv: jnp.ndarray,  # (B, S, 3D) the forward's packed projection output
@@ -428,18 +459,31 @@ def fused_attention_qkv_bwd(
     batch_per_block: int = 0,
     interpret: bool = False,
     scale: float = 0.0,
+    vmem_limit_bytes: int = 0,
 ) -> jnp.ndarray:
-    """d(qkv) for `fused_attention_qkv` — see `_attn_bwd_kernel_qkv`."""
+    """d(qkv) for `fused_attention_qkv` — see `_attn_bwd_kernel_qkv`.
+
+    ``vmem_limit_bytes`` raises Mosaic's scoped-VMEM budget above the
+    16MB default (the core has 128MB; the default exists to leave room
+    for XLA's own buffers) so the batch group can grow past what the
+    default admits — see `_BWD_BLOCK_PLAN` for the measured choice."""
     B, S, D3 = qkv.shape
     D = D3 // 3
     H = num_heads
     hd = D // H
     scale = scale or 1.0 / math.sqrt(hd)
     if not batch_per_block:
-        batch_per_block = _auto_batch_per_block_bwd(S, D, qkv.dtype.itemsize)
+        batch_per_block, vmem_limit_bytes = _bwd_block_plan(
+            S, D, qkv.dtype.itemsize
+        )
     Gb = min(batch_per_block, B)
     while B % Gb:
         Gb -= 1
+    params = {}
+    if vmem_limit_bytes and not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes)
+        )
     return pl.pallas_call(
         functools.partial(
             _attn_bwd_kernel_qkv, scale=scale, H=H, hd=hd, D=D
@@ -452,7 +496,26 @@ def fused_attention_qkv_bwd(
         ],
         out_specs=pl.BlockSpec((Gb, S, D3), lambda i: (i, 0, 0)),
         interpret=interpret,
+        **params,
     )(qkv, do)
+
+
+def _bwd_block_plan(S: int, d_model: int, itemsize: int) -> tuple:
+    """(batch_per_block, vmem_limit_bytes) for the backward kernel.
+
+    Default plan: the largest Gb up to 8 whose modeled working set fits
+    the raised budget, with the scoped limit lifted to match.  Measured
+    sweep on the flagship bwd shape (B=256, S=125, D=512, bf16, chained
+    scan): Gb=4 (16MB default) 0.823, **Gb=8 (23MB) 0.618**, Gb=16
+    (40MB) 0.771, Gb=32 (74MB) 0.659 ms/call — 8 wins and bigger groups
+    lose pipelining overlap, so the cap is the measured winner
+    (docs/DESIGN.md §6 'scoped-VMEM raise' entry)."""
+    per_row = _vmem_per_row_bwd(S, d_model, itemsize)
+    budget = _VMEM_RAISED_BUDGET
+    g = max(1, min(8, budget // per_row))
+    if g <= _VMEM_BUDGET // per_row:
+        return g, 0  # fits the default limit; don't raise
+    return g, int(g * per_row + (4 << 20))
 
 
 @functools.partial(
@@ -531,6 +594,7 @@ def _vmem_per_row(S: int, d_model: int, itemsize: int) -> int:
 
 
 _VMEM_BUDGET = 14 * 2**20  # 16MB scoped limit minus slack
+_VMEM_RAISED_BUDGET = 60 * 2**20  # raised-scoped-limit plan (128MB core)
 
 
 def _vmem_per_row_smajor(S: int, d_model: int, itemsize: int) -> int:
