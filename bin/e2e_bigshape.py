@@ -101,14 +101,15 @@ def main():
     assert len(pkls) >= len(TASKS), pkls
 
     t2 = time.perf_counter()
-    eval_main([result_dir])
+    from layoutdm_tpu.eval_cli import evaluate_results, print_scores
+
+    scores = evaluate_results(sorted(pkls))
+    print_scores(scores)
     summary["eval_s"] = round(time.perf_counter() - t2, 1)
-    csvs = glob.glob(os.path.join(result_dir, "*.csv"))
-    summary["artifacts"] = {
-        "job_dir": job_dir,
-        "pickles": len(pkls),
-        "csv": sorted(os.path.basename(c) for c in csvs),
+    summary["metrics"] = {
+        k: round(float(np.mean(v)), 4) for k, v in sorted(scores.items())
     }
+    summary["artifacts"] = {"job_dir": job_dir, "pickles": len(pkls)}
 
     out_json = os.path.join(a.out, "summary.json")
     with open(out_json, "w") as f:
