@@ -248,13 +248,15 @@ def main():
     print(json.dumps(row))
 
 
-def bench_train_row(model, batch=256, n_steps=20):
+def bench_train_row(model, batch=1024, n_steps=20):
     """Training-step throughput sub-row (round-4 VERDICT weak #5: train
     numbers lived only in prose).  Times the flagship `make_train_step`
     (fwd + bwd + AdamW + clip + Lt update) as N pipelined sequential
     dispatches with one terminal scalar sync — NOT an outer jit(scan(...)),
     which defeats donation and measures 16x slow (docs/DESIGN.md §5).
-    B=256 is the measured throughput peak (`bin/bench_train.py` sweeps)."""
+    B=1024 is the measured samples/s peak (`bin/bench_train.py` sweeps);
+    rbg keys match the train loop's production default
+    (TrainingConfig.rng_impl, docs/DESIGN.md §6 RNG entry)."""
     from layoutdm_tpu.train.step import (
         init_train_state,
         make_optimizer,
@@ -267,13 +269,14 @@ def bench_train_row(model, batch=256, n_steps=20):
     V, S = model.num_classes, model.seq_len
     tokens = jax.random.randint(jax.random.PRNGKey(1), (batch, S), 0, V)
 
-    state, m = step(state, jax.random.PRNGKey(2), tokens)  # compile
+    keys = [jax.random.key(2 + i, impl="rbg") for i in range(n_steps + 1)]
+    state, m = step(state, keys[-1], tokens)  # compile
     jax.block_until_ready(m["loss"])
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for i in range(n_steps):
-            state, m = step(state, jax.random.PRNGKey(3 + i), tokens)
+            state, m = step(state, keys[i], tokens)
         float(m["loss"])  # scalar fetch = real sync over the axon tunnel
         best = min(best, (time.perf_counter() - t0) / n_steps)
 

@@ -60,7 +60,10 @@ def main():
     for B in (64, 256, 1024):
         tokens = jax.random.randint(jax.random.PRNGKey(1), (B, S), 0, V)
         state = state0
-        state, m = step(state, jax.random.PRNGKey(2), tokens)  # compile
+        # rbg keys = the train loop's production default
+        # (TrainingConfig.rng_impl, docs/DESIGN.md §6 RNG entry)
+        keys = [jax.random.key(i, impl="rbg") for i in range(21)]
+        state, m = step(state, keys[20], tokens)  # compile
         jax.block_until_ready(m["loss"])
 
         best = float("inf")
@@ -68,7 +71,7 @@ def main():
         for _ in range(3):
             t0 = time.perf_counter()
             for i in range(n):
-                state, m = step(state, jax.random.PRNGKey(i), tokens)
+                state, m = step(state, keys[i], tokens)
             jax.block_until_ready(m["loss"])
             best = min(best, (time.perf_counter() - t0) / n)
         state0 = init_train_state(model, optimizer, jax.random.PRNGKey(0))

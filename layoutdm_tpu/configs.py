@@ -182,6 +182,16 @@ class TrainingConfig:
     seed: int = 0
     # data-parallel mesh size; 0 = use all local devices
     num_devices: int = 0
+    # PRNG implementation for the training stream (timestep draws, q_sample
+    # gumbels, dropout masks).  "rbg" rides the TPU's hardware
+    # RngBitGenerator — measured 94.62 -> 92.00 ms/step at B=1024 on the
+    # flagship (+2.8%, docs/DESIGN.md §6) because threefry's u32 math for
+    # the (B, S, d) dropout mask is rematerialised in the backward.  Draws
+    # stay deterministic per (seed, program) but are NOT stable across JAX
+    # versions/backends the way threefry is — set "threefry2x32" for
+    # cross-version reproducible streams.  Sampling/eval keys are
+    # unaffected (callers pass their own).
+    rng_impl: str = "rbg"
 
 
 @dataclass

@@ -443,15 +443,25 @@ def compute_violation(
 def compute_wasserstein_distance(
     layouts_1: List[Layout], layouts_2: List[Layout], n_classes: int = 25
 ) -> Dict[str, float]:
+    """Class-histogram L1 + per-coordinate bbox Wasserstein
+    (`metric.py:510-556`).
+
+    Returns NaNs when either side has zero elements overall (every layout
+    empty) — reachable with tiny sample counts from a barely-trained model
+    that predicts all-PAD; scipy's `wasserstein_distance` raises on an
+    empty distribution and a smoke run should not die on a metric."""
+    b1 = np.concatenate([l[0] for l in layouts_1])
+    b2 = np.concatenate([l[0] for l in layouts_2])
+    if len(b1) == 0 or len(b2) == 0:
+        return {"wdist_class": float("nan"), "wdist_bbox": float("nan")}
+
     def class_hist(ls):
         cats = np.concatenate([l[1] for l in ls])
         counts = np.bincount(cats.astype(int), minlength=n_classes)[:n_classes]
         return counts / counts.sum()
 
     w_class = float(np.abs(class_hist(layouts_1) - class_hist(layouts_2)).sum())
-    b1 = np.concatenate([l[0] for l in layouts_1]).T
-    b2 = np.concatenate([l[0] for l in layouts_2]).T
     w_bbox = float(
-        np.mean([wasserstein_distance(b1[i], b2[i]) for i in range(4)])
+        np.mean([wasserstein_distance(b1.T[i], b2.T[i]) for i in range(4)])
     )
     return {"wdist_class": w_class, "wdist_bbox": w_bbox}

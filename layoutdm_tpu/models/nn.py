@@ -18,6 +18,7 @@ Everything is standard flax.linen; the modules contain no python-level state.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -34,7 +35,9 @@ def gelu2(x):
 ACTIVATIONS = {"relu": jax.nn.relu, "gelu": jax.nn.gelu, "gelu2": gelu2}
 
 
-def embed_tokens(embedder: nn.Embed, seq: jnp.ndarray) -> jnp.ndarray:
+def embed_tokens(
+    embedder: nn.Embed, seq: jnp.ndarray, dtype=None
+) -> jnp.ndarray:
     """Token embedding as a one-hot matmul instead of a gather.
 
     TPU gathers bypass the MXU and run bandwidth-limited: at bench shapes
@@ -44,10 +47,33 @@ def embed_tokens(embedder: nn.Embed, seq: jnp.ndarray) -> jnp.ndarray:
     each output row is 1.0 x one table row summed with exact zeros
     (verified on-chip; `tests/test_model.py::test_embed_tokens_exact`).
 
+    ``dtype``: when the model's COMPUTE dtype is low-precision (bf16), pass
+    it to run the dot in that dtype — each output row is then exactly the
+    bf16-rounded table row (one-hot selection has no accumulation error:
+    1.0*x and 0.0*x are exact, and f32 accumulation of one nonzero term is
+    the term).  The stream is cast to the compute dtype a few ops later
+    anyway, so the only numerical change is WHERE the rounding happens
+    (before vs after the positional add) — invisible next to bf16 GEMM
+    noise, and it replaces a 6-pass f32 MXU dot (which XLA further lowers
+    to a ~10x-slow fused conv emitter in the train step's backward) with a
+    plain bf16 GEMM in both directions.  f32 models are unaffected.
+
     The tiny ``arange`` gather materializes the table through the bound
     module so the param tree keeps flax's ``cat_emb/embedding`` path.
     """
     table = embedder(jnp.arange(embedder.num_embeddings))
+    if (
+        dtype is not None
+        and jnp.dtype(dtype) != jnp.float32
+        and os.environ.get("LAYOUTDM_TPU_EMBED_F32", "0") != "1"
+    ):
+        oh = jax.nn.one_hot(seq, embedder.num_embeddings, dtype=dtype)
+        return jax.lax.dot_general(
+            oh,
+            table.astype(dtype),
+            (((oh.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
     oh = jax.nn.one_hot(seq, embedder.num_embeddings, dtype=table.dtype)
     return jax.lax.dot_general(
         oh,
@@ -788,7 +814,9 @@ class CategoricalAggregatedTransformer(nn.Module):
         A = self.n_attr_per_elem
         B, S = seq.shape
         h = embed_tokens(
-            nn.Embed(self.num_classes, c.d_model, name="cat_emb"), seq
+            nn.Embed(self.num_classes, c.d_model, name="cat_emb"),
+            seq,
+            dtype=self.dtype,
         )
         h = nn.Dropout(0.1)(h, deterministic=deterministic)
         h = h.reshape(B, S // A, A * c.d_model)
@@ -978,6 +1006,7 @@ class CategoricalEncDecTransformer(nn.Module):
             h_enc = embed_tokens(
                 nn.Embed(self.num_classes, c.d_model, name="input_emb"),
                 input_seq,
+                dtype=self.dtype,
             )
             h_enc = h_enc + posmod("input_pos")(input_seq.shape[1])
             h_enc = nn.Dropout(0.1)(h_enc, deterministic=deterministic)
@@ -990,6 +1019,7 @@ class CategoricalEncDecTransformer(nn.Module):
         tgt = embed_tokens(
             nn.Embed(self.num_classes, c.d_model, name="target_emb"),
             target_seq,
+            dtype=self.dtype,
         )
         S = target_seq.shape[1]
         position = None
@@ -1044,7 +1074,9 @@ class CategoricalTransformer(nn.Module):
         c = self.backbone
         S = seq.shape[1]
         h = embed_tokens(
-            nn.Embed(self.num_classes, c.d_model, name="cat_emb"), seq
+            nn.Embed(self.num_classes, c.d_model, name="cat_emb"),
+            seq,
+            dtype=self.dtype,
         )
 
         position = None

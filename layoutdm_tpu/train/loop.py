@@ -46,7 +46,10 @@ def train(cfg: TrainConfig) -> Dict:
         # of futex-wait — measured in round 3 when debug runs "hung".
         jax.config.update("jax_debug_nans", True)
     rng_np = np.random.RandomState(cfg.seed)
-    rng = jax.random.PRNGKey(cfg.seed)
+    # typed key so the PRNG impl rides the key (TrainingConfig.rng_impl:
+    # "rbg" = TPU hardware bit generator, +2.8% step throughput vs
+    # threefry at bench shapes — docs/DESIGN.md §6 RNG entry)
+    rng = jax.random.key(cfg.seed, impl=cfg.training.rng_impl)
 
     cfg.dataset.ensure_registered()  # custom datasets (docs/custom_dataset.md)
     train_data = load_dataset(

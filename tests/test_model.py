@@ -245,6 +245,34 @@ def test_embed_tokens_exact(rng):
     assert bool(jnp.all(g == o))
 
 
+def test_embed_tokens_bf16_exact():
+    """The bf16-dtype embed path (one-hot dot in the COMPUTE dtype) is
+    exactly the gather of the bf16-rounded table: one-hot selection has no
+    accumulation error, so each output row must equal
+    ``table.astype(bf16)[id]`` bitwise.  This is the train/serve default
+    for bf16 models (the f32-HIGHEST dot lowers to a ~10x-slow conv
+    emitter in the train backward — docs/DESIGN.md §6 embed-dtype entry);
+    LAYOUTDM_TPU_EMBED_F32=1 restores the f32 route."""
+    import flax.linen as nn
+
+    from layoutdm_tpu.models.nn import embed_tokens
+
+    class Both(nn.Module):
+        @nn.compact
+        def __call__(self, seq):
+            emb = nn.Embed(155, 464, name="cat_emb")
+            table = emb(jnp.arange(155))
+            return (
+                jnp.take(table.astype(jnp.bfloat16), seq, axis=0),
+                embed_tokens(emb, seq, dtype=jnp.bfloat16),
+            )
+
+    seq = jax.random.randint(jax.random.PRNGKey(7), (3, 125), 0, 155)
+    g, o = Both().apply(Both().init(jax.random.PRNGKey(0), seq), seq)
+    assert g.dtype == o.dtype == jnp.bfloat16
+    assert bool(jnp.all(g == o))
+
+
 def test_vocab_padded_head_exact(monkeypatch):
     """LAYOUTDM_TPU_VOCAB_PAD=1: the lane-padded head (kernel zero-padded
     to a 128-lane multiple, -1e9 bias on MASK+pad lanes, slice after the
