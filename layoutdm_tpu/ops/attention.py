@@ -261,14 +261,24 @@ def fused_attention_qkv(
 
 
 def _fwd_block_plan(S: int, d_model: int, itemsize: int) -> tuple:
-    """(batch_per_block, vmem_limit_bytes) for the forward kernel — same
-    raised-scoped-limit policy as `_bwd_block_plan` (Gb capped at 32: the
-    measured sweep at B=1024/S=125/D=512 put Gb=32 ahead of both 8 and
-    64 — docs/DESIGN.md §6 'scoped-VMEM raise')."""
+    """(batch_per_block, vmem_limit_bytes) for the forward kernel.
+
+    Raise the scoped limit ONLY when rows are small enough that the
+    DEFAULT budget already admits a healthy group (>= 8): the measured
+    sweep at B=1024/S=125/D=512 (1.24 MB/row) put Gb=32 ahead of 8 and
+    64, but at S=500/D=512 (7.2 MB/row) the raise flipped the plan from
+    Gb=1 to Gb=8 and LOST ~0.5% end-to-end (86.2 vs 85.8 layouts/s,
+    same-process sweep over Gb in {1,2,4,8}) — big blocks of big rows
+    lose pipelining overlap, the same shape of result as the backward
+    sweep (`_bwd_block_plan`).  So: small rows -> raised budget, Gb<=32;
+    big rows -> default budget's group (docs/DESIGN.md §6 'scoped-VMEM
+    raise')."""
     per_row = _vmem_per_row(S, d_model, itemsize)
-    budget = _VMEM_RAISED_BUDGET
-    g = max(1, min(32, budget // per_row))
-    if g <= max(1, min(32, _VMEM_BUDGET // per_row)):
+    g_default = max(1, min(32, _VMEM_BUDGET // per_row))
+    if g_default < 8:
+        return g_default, 0
+    g = max(1, min(32, _VMEM_RAISED_BUDGET // per_row))
+    if g <= g_default:
         return g, 0  # the default limit already admits it; don't raise
     return g, int(g * per_row + (4 << 20))
 
