@@ -71,11 +71,13 @@ def capture_train(trace_dir: str, batch: int, steps: int) -> None:
     step = make_train_step(model, optimizer)
     V, S = model.num_classes, model.seq_len
     tokens = jax.random.randint(jax.random.PRNGKey(1), (batch, S), 0, V)
-    state, m = step(state, jax.random.PRNGKey(2), tokens)  # compile
+    # rbg keys = the train loop's production default (TrainingConfig.rng_impl)
+    keys = [jax.random.key(2 + i, impl="rbg") for i in range(steps + 1)]
+    state, m = step(state, keys[-1], tokens)  # compile
     jax.block_until_ready(m["loss"])
     with jax.profiler.trace(trace_dir):
         for i in range(steps):
-            state, m = step(state, jax.random.PRNGKey(3 + i), tokens)
+            state, m = step(state, keys[i], tokens)
         float(m["loss"])  # scalar fetch = real sync
 
 
